@@ -1,0 +1,146 @@
+"""Configuration dataclasses for the TPU-native 2D NDT SLAM engine.
+
+Parameter names and defaults mirror the reference `ndt_2d` ROS parameters
+(reference: src/ndt_mapper.cpp:59-103, src/scan_matcher_ndt.cpp:37-44) so a
+user of the reference can map their configuration 1:1.  TPU-specific static
+sizing knobs (padded capacities, grid extents) are additions required by
+XLA's static-shape compilation model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def _num_steps(size: float, res: float) -> int:
+    """Number of iterations of ``for (v = -size; v < size; v += res)``.
+
+    Matches the reference C++ loop trip count (scan_matcher_ndt.cpp:103,117,119).
+    """
+    return int(math.floor(2.0 * size / res - 1e-9)) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanMatcherConfig:
+    """Configuration of one NDT scan matcher instance.
+
+    Mirrors the namespaced parameters declared in the reference
+    (scan_matcher_ndt.cpp:37-44): ``ndt_resolution``,
+    ``search_angular_resolution``, ``search_angular_size``,
+    ``search_linear_resolution``, ``search_linear_size``, ``laser_max_beams``.
+    """
+
+    ndt_resolution: float = 0.25
+    search_angular_resolution: float = 0.0025
+    search_angular_size: float = 0.1
+    search_linear_resolution: float = 0.005
+    search_linear_size: float = 0.05
+    laser_max_beams: int = 100
+
+    # --- TPU static sizing (no reference analog; the reference allocates a
+    # dynamically-sized dense grid per addScans call, scan_matcher_ndt.cpp:66) ---
+    # NDT grid extent in cells (static for XLA).  Must cover the bounding box
+    # of the scan window poses +- range_max at ndt_resolution.
+    grid_cells_x: int = 192
+    grid_cells_y: int = 192
+
+    @property
+    def num_angles(self) -> int:
+        return _num_steps(self.search_angular_size, self.search_angular_resolution)
+
+    @property
+    def num_linear(self) -> int:
+        return _num_steps(self.search_linear_size, self.search_linear_resolution)
+
+    @property
+    def num_candidates(self) -> int:
+        return self.num_angles * self.num_linear * self.num_linear
+
+    @property
+    def num_cells(self) -> int:
+        return self.grid_cells_x * self.grid_cells_y
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleFilterConfig:
+    """AMCL-style particle filter parameters (ndt_mapper.cpp:71-88)."""
+
+    odom_alpha1: float = 0.2
+    odom_alpha2: float = 0.2
+    odom_alpha3: float = 0.2
+    odom_alpha4: float = 0.2
+    odom_alpha5: float = 0.2  # declared but unused by the reference sampler
+    min_particles: int = 100
+    max_particles: int = 500
+    kld_err: float = 0.01
+    kld_z: float = 2.3
+    # KLD histogram bin sizes (particle_filter.cpp:44)
+    kld_bin_x: float = 0.5
+    kld_bin_y: float = 0.5
+    kld_bin_theta: float = 0.2671
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Pose-graph solver parameters.
+
+    The reference uses Ceres (SPARSE_NORMAL_CHOLESKY, 100 iterations,
+    ceres_solver.cpp:39-40).  We run batched Levenberg-Marquardt on TPU with a
+    dense Cholesky solve for small graphs and matrix-free preconditioned
+    conjugate gradients for large ones.
+    """
+
+    max_iterations: int = 100
+    # Use the dense normal-equation path while 3*N <= this; otherwise PCG.
+    dense_size_limit: int = 3072
+    cg_max_iterations: int = 250
+    cg_tolerance: float = 1e-6
+    lm_lambda_init: float = 1e-6
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.5
+    tolerance: float = 1e-9
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    """Top-level mapper parameters (ndt_mapper.cpp:59-103)."""
+
+    resolution: float = 0.05                 # occupancy-grid export resolution
+    minimum_travel_distance: float = 0.1
+    minimum_travel_rotation: float = 1.0
+    rolling_depth: int = 10
+    transform_timeout: float = 0.2           # kept for API parity; no TF here
+    use_barycenter: bool = True
+    global_search_size: float = 0.2          # NOTE: squared-distance radius,
+    # matching nanoflann radiusSearch semantics used by the reference
+    # (graph.cpp:181 passes it straight through as an L2^2 radius).
+    global_search_limit: int = 3
+    optimization_node_limit: int = 25
+    use_particle_filter: bool = False
+    enable_mapping: bool = True
+    occupancy_threshold: float = 0.25
+    max_range: float = -1.0                  # negative => take from sensor msg
+
+    scan_matcher_type: str = "ndt"           # plugin-style matcher registry key
+
+    local_scan_matcher: ScanMatcherConfig = dataclasses.field(
+        default_factory=ScanMatcherConfig)
+    global_scan_matcher: ScanMatcherConfig = dataclasses.field(
+        default_factory=ScanMatcherConfig)
+    particle_filter: ParticleFilterConfig = dataclasses.field(
+        default_factory=ParticleFilterConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+    # --- TPU static capacities ---
+    max_points_per_scan: int = 512           # padded laser points per keyframe
+    max_scans: int = 4096                    # padded keyframe capacity
+    max_constraints: int = 8192
+
+    # Cadence of the (synchronous) loop-closure pass, in accepted scans.  The
+    # reference runs it on a 1 Hz background thread (ndt_mapper.cpp:573); our
+    # host loop is single-threaded and deterministic instead.
+    loop_closure_every: int = 5
+
+
+DEFAULT_CONFIG = MapperConfig()
