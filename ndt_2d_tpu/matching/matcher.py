@@ -1,0 +1,255 @@
+"""NDT scan matching: the exhaustive 3-DoF candidate search as one batched op.
+
+The reference's hot loop (ScanMatcherNDT::matchScan,
+src/scan_matcher_ndt.cpp:76-149) evaluates, with default parameters,
+80 angles x 20 x 20 translations = 32 000 candidate poses x <=100 subsampled
+beams sequentially on one CPU core.  Here the whole candidate grid is scored
+as a single fused XLA computation on the TPU: rotate the subsampled beams once
+per angle, broadcast the translation offsets, gather the packed NDT cell
+table, evaluate the Gaussian quadratic forms on the VPU, and reduce.  The
+best-candidate argmin and the Olson-style covariance over the full search
+distribution (src/scan_matcher_ndt.cpp:136-146) reduce on-chip as well.
+
+Semantics match the reference:
+* stride subsampling to ``laser_max_beams`` (src/scan_matcher_ndt.cpp:94-101),
+* search lattice ``for (v=-size; v<size; v+=res)`` per axis,
+* candidate score = -sum of cell likelihoods; best strictly below 0.0 wins,
+  else the correction stays (0,0,0) (best_score init, :83, :128-134),
+* returned score is normalized by the number of subsampled beams (:148),
+* covariance = K/s + u u^T / s^2 over all candidates (:136-146).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_2d_tpu.config import ScanMatcherConfig
+from ndt_2d_tpu.ndt import grid as ndt_grid
+
+
+class MatchResult(NamedTuple):
+    score: jnp.ndarray        # scalar: best candidate score / beams used
+    correction: jnp.ndarray   # [3] (dx, dy, dtheta) to add to the scan pose
+    covariance: jnp.ndarray   # [3, 3] Olson covariance of the search
+
+
+def subsample(points, point_mask, num_points, max_beams: int):
+    """Stride-subsample a padded scan to ``max_beams`` slots.
+
+    Mirrors src/scan_matcher_ndt.cpp:94-101: ``used = min(max_beams, n)``,
+    ``step = n / used``, ``idx_i = floor(i * step)``.  Returns
+    (points [max_beams, 2], mask [max_beams], used).
+    """
+    n = num_points.astype(jnp.float32)
+    used = jnp.minimum(jnp.int32(max_beams), num_points)
+    step = n / jnp.maximum(used, 1).astype(jnp.float32)
+    i = jnp.arange(max_beams, dtype=jnp.float32)
+    idx = jnp.minimum((i * step).astype(jnp.int32), num_points - 1)
+    idx = jnp.clip(idx, 0, points.shape[0] - 1)
+    mask = (jnp.arange(max_beams) < used) & point_mask[idx]
+    return points[idx], mask, used
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def window_origin(config: ScanMatcherConfig, poses, window_mask, range_max):
+    """Grid origin for a scan window: min pose - range_max per axis.
+
+    Mirrors ScanMatcherNDT::addScans' bounding box (src/scan_matcher_ndt.cpp:52-67);
+    the extent itself is static (config.grid_cells_*) instead of dynamic.
+    """
+    big = jnp.asarray(jnp.finfo(poses.dtype).max, poses.dtype)
+    xy = jnp.where(window_mask[:, None], poses[:, :2], big)
+    return jnp.min(xy, axis=0) - range_max
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def build_window_ndt(config: ScanMatcherConfig, poses, points, point_mask,
+                     window_mask, range_max) -> ndt_grid.NDTGrid:
+    """Build the window NDT (ScanMatcherNDT::addScans, src/scan_matcher_ndt.cpp:49-74).
+
+    Args:
+      poses: [S, 3]; points: [S, P, 2] robot-frame; point_mask: [S, P];
+      window_mask: [S] which scans participate; range_max: scalar.
+    """
+    origin = window_origin(config, poses, window_mask, range_max)
+    mask = point_mask & window_mask[:, None]
+    return ndt_grid.build_ndt_from_scans(
+        poses, points, mask, origin, config.ndt_resolution,
+        config.grid_cells_x, config.grid_cells_y)
+
+
+def _search_offsets(config: ScanMatcherConfig, dtype=jnp.float32):
+    """The candidate lattice: angles [A], linear offsets [L] (both axes)."""
+    a = (-config.search_angular_size
+         + jnp.arange(config.num_angles, dtype=dtype)
+         * config.search_angular_resolution)
+    l = (-config.search_linear_size
+         + jnp.arange(config.num_linear, dtype=dtype)
+         * config.search_linear_resolution)
+    return a, l
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
+               point_mask, num_points, pose, range_max) -> MatchResult:
+    """Exhaustive 3-DoF search of one scan against the window NDT.
+
+    Args:
+      grid: the window NDT (from build_window_ndt).
+      points: [P, 2] robot-frame scan points (padded), point_mask: [P],
+      num_points: scalar int, pose: [3] current scan pose estimate.
+    """
+    del range_max  # part of the signature for symmetry; unused here
+    W, H = config.grid_cells_x, config.grid_cells_y
+    A, L, B = config.num_angles, config.num_linear, config.laser_max_beams
+
+    spts, smask, used = subsample(points, point_mask, num_points, B)
+    dths, dls = _search_offsets(config, spts.dtype)
+
+    # Rotate once per angle (outer loop of the reference), then broadcast
+    # translations: world point = R(theta+dth) p + pose_xy + (dx, dy).
+    th = pose[2] + dths                                   # [A]
+    c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]     # [A, 1]
+    px, py = spts[:, 0][None, :], spts[:, 1][None, :]     # [1, B]
+    rx = c * px - s * py + pose[0]                        # [A, B]
+    ry = s * px + c * py + pose[1]
+
+    # Candidate world positions [A, L(dx), L(dy), B]
+    wx = rx[:, None, None, :] + dls[None, :, None, None]
+    wy = ry[:, None, None, :] + dls[None, None, :, None]
+
+    # Cell lookup + Gaussian score (NDT::likelihood per point).
+    ix = jnp.floor((wx - grid.origin[0]) / grid.cell_size).astype(jnp.int32)
+    iy = jnp.floor((wy - grid.origin[1]) / grid.cell_size).astype(jnp.int32)
+    inb = (ix >= 0) & (iy >= 0) & (ix < W) & (iy < H)
+    flat = jnp.where(inb, jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1), 0)
+
+    mean = grid.mean[flat]                                # [A, L, L, B, 2]
+    info = grid.information[flat]                         # [A, L, L, B, 3]
+    scorable = grid.count[flat] >= 5
+    qx = wx - mean[..., 0]
+    qy = wy - mean[..., 1]
+    e = -0.5 * (info[..., 0] * qx * qx + 2.0 * info[..., 1] * qx * qy
+                + info[..., 2] * qy * qy)
+    pt_scores = jnp.where(inb & scorable & smask[None, None, None, :],
+                          jnp.exp(e), 0.0)
+
+    # Candidate scores: negative likelihood sum (lower is better).
+    cand = -jnp.sum(pt_scores, axis=-1)                   # [A, L, L]
+
+    # Best candidate with the reference's strict `< 0` acceptance.
+    flat_cand = cand.reshape(-1)
+    best_idx = jnp.argmin(flat_cand)
+    best = flat_cand[best_idx]
+    ai, xi, yi = jnp.unravel_index(best_idx, cand.shape)
+    correction = jnp.where(
+        best < 0.0,
+        jnp.stack([dls[xi], dls[yi], dths[ai]]),
+        jnp.zeros(3, cand.dtype))
+
+    # Olson covariance over the full search distribution
+    # (src/scan_matcher_ndt.cpp:136-146).
+    x = jnp.stack([jnp.broadcast_to(dls[None, :, None], (A, L, L)),
+                   jnp.broadcast_to(dls[None, None, :], (A, L, L)),
+                   jnp.broadcast_to(dths[:, None, None], (A, L, L))],
+                  axis=-1)  # [A, L, L, 3] candidate (dx, dy, dth)
+    sw = cand[..., None]
+    u = jnp.sum(x * sw, axis=(0, 1, 2))                   # [3]
+    k = jnp.sum(x[..., :, None] * x[..., None, :] * sw[..., None], axis=(0, 1, 2))
+    ssum = jnp.sum(cand)
+    covariance = k / ssum + (u[:, None] * u[None, :]) / (ssum * ssum)
+
+    used_f = jnp.maximum(used, 1).astype(cand.dtype)
+    return MatchResult(score=best / used_f, correction=correction,
+                       covariance=covariance)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def score_points_at_pose(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                         points, point_mask, num_points, pose):
+    """ScanMatcherNDT::scorePoints (src/scan_matcher_ndt.cpp:156-178).
+
+    Transforms the (subsampled) points by ``pose`` and returns the mean
+    negative likelihood.
+    """
+    B = config.laser_max_beams
+    spts, smask, used = subsample(points, point_mask, num_points, B)
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    wx = c * spts[:, 0] - s * spts[:, 1] + pose[0]
+    wy = s * spts[:, 0] + c * spts[:, 1] + pose[1]
+    w = jnp.stack([wx, wy], axis=-1)
+    sc = ndt_grid.score_points(grid, w, smask,
+                               config.grid_cells_x, config.grid_cells_y)
+    return -jnp.sum(sc) / jnp.maximum(used, 1).astype(w.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def score_points_batch(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                       points, point_mask, num_points, poses):
+    """Vectorized scorePoints over a batch of poses [N, 3].
+
+    This is the particle-filter measurement model: all particles score the
+    same scan against the global NDT in one batched gather+exp
+    (replaces the per-particle loop at src/particle_filter.cpp:81-88).
+    """
+    fn = jax.vmap(lambda p: score_points_at_pose(
+        config, grid, points, point_mask, num_points, p))
+    return fn(poses)
+
+
+class NDTScanMatcher:
+    """Host-side stateful wrapper mirroring the ScanMatcher plugin interface.
+
+    The reference's abstract interface (include/ndt_2d/scan_matcher.hpp:42-91):
+    initialize / addScans / matchScan / scoreScan / scorePoints / reset.
+    Construction happens through ``ndt_2d_tpu.matching.registry`` the way the
+    reference loads matchers by type string via pluginlib.
+    """
+
+    def __init__(self, config: ScanMatcherConfig, range_max: float):
+        self.config = config
+        self.range_max = float(range_max)
+        self.grid: Optional[ndt_grid.NDTGrid] = None
+
+    def add_scans(self, poses, points, point_mask, window_mask=None):
+        poses = jnp.asarray(poses)
+        if window_mask is None:
+            window_mask = jnp.ones(poses.shape[0], bool)
+        # Host-side capacity check (the reference sizes its grid dynamically;
+        # ours is static, so verify the window fits).
+        wp = np.asarray(poses)[np.asarray(window_mask)]
+        if wp.size:
+            span = wp[:, :2].max(0) - wp[:, :2].min(0) + 2 * self.range_max
+            need = np.ceil(span / self.config.ndt_resolution) + 1
+            if (need[0] > self.config.grid_cells_x
+                    or need[1] > self.config.grid_cells_y):
+                raise ValueError(
+                    f"scan window needs {need} cells > static grid "
+                    f"({self.config.grid_cells_x}, {self.config.grid_cells_y}); "
+                    "increase ScanMatcherConfig.grid_cells_*")
+        self.grid = build_window_ndt(self.config, poses, jnp.asarray(points),
+                                     jnp.asarray(point_mask), window_mask,
+                                     self.range_max)
+
+    def match_scan(self, points, point_mask, num_points, pose) -> MatchResult:
+        if self.grid is None:  # "Scans must be added first" (:80)
+            return MatchResult(jnp.zeros(()), jnp.zeros(3), jnp.zeros((3, 3)))
+        return match_scan(self.config, self.grid, jnp.asarray(points),
+                          jnp.asarray(point_mask), jnp.asarray(num_points),
+                          jnp.asarray(pose), self.range_max)
+
+    def score_points(self, points, point_mask, num_points, pose):
+        if self.grid is None:
+            return jnp.zeros(())
+        return score_points_at_pose(self.config, self.grid,
+                                    jnp.asarray(points),
+                                    jnp.asarray(point_mask),
+                                    jnp.asarray(num_points), jnp.asarray(pose))
+
+    def reset(self):
+        self.grid = None

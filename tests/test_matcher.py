@@ -1,0 +1,137 @@
+"""Scan-matcher tests: subsampling semantics, offset recovery, scoring.
+
+The reference has no matcher unit tests; these encode the documented
+behavior of ScanMatcherNDT (src/scan_matcher_ndt.cpp) — stride subsampling,
+candidate lattice, correction recovery, score normalization — against
+synthetic raycast scans.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndt_2d_tpu.config import ScanMatcherConfig
+from ndt_2d_tpu.matching import matcher, registry
+from ndt_2d_tpu.utils import sim
+
+CFG = ScanMatcherConfig(grid_cells_x=128, grid_cells_y=128)
+
+
+def make_scan(pose, world=None, n_beams=360, max_points=512):
+    world = world if world is not None else sim.make_box_world(10.0, 8.0)
+    msg = sim.scan_at_pose(world, np.asarray(pose, float), n_beams=n_beams,
+                           range_max=15.0)
+    pts, mask = sim.project_scan(msg, max_points)
+    return pts, mask, int(mask.sum())
+
+
+class TestSubsample:
+    def test_stride_matches_reference(self):
+        # n=250 points, 100 beams: step 2.5 -> idx floor(i*2.5)
+        pts = jnp.arange(512, dtype=jnp.float32)[:, None].repeat(2, 1)
+        mask = jnp.arange(512) < 250
+        spts, smask, used = matcher.subsample(pts, mask, jnp.int32(250), 100)
+        assert int(used) == 100
+        expect = np.floor(np.arange(100) * 2.5).astype(int)
+        np.testing.assert_array_equal(np.asarray(spts[:, 0]).astype(int), expect)
+        assert bool(smask.all())
+
+    def test_fewer_points_than_beams(self):
+        pts = jnp.arange(512, dtype=jnp.float32)[:, None].repeat(2, 1)
+        mask = jnp.arange(512) < 40
+        spts, smask, used = matcher.subsample(pts, mask, jnp.int32(40), 100)
+        assert int(used) == 40
+        np.testing.assert_array_equal(np.asarray(smask),
+                                      np.arange(100) < 40)
+        np.testing.assert_array_equal(
+            np.asarray(spts[:40, 0]).astype(int), np.arange(40))
+
+
+class TestMatchScan:
+    def setup_method(self):
+        self.world = sim.make_box_world(10.0, 8.0)
+        self.m = registry.create("ndt", CFG, range_max=15.0)
+        # Map built from 3 scans near the room center.
+        poses = np.asarray([[4.8, 3.9, 0.0], [5.0, 4.0, 0.05],
+                            [5.2, 4.1, -0.05]], np.float32)
+        pts, msk = [], []
+        for p in poses:
+            a, b, _ = make_scan(p, self.world)
+            pts.append(a)
+            msk.append(b)
+        self.m.add_scans(poses, np.stack(pts), np.stack(msk))
+
+    def test_recovers_known_offset(self):
+        true_pose = np.asarray([5.0, 4.0, 0.0], np.float32)
+        pts, mask, n = make_scan(true_pose, self.world)
+        # Perturb the pose estimate; the matcher should find the correction.
+        offset = np.asarray([0.03, -0.02, 0.02], np.float32)
+        res = self.m.match_scan(pts, mask, n, true_pose + offset)
+        corr = np.asarray(res.correction)
+        assert float(res.score) < -0.3   # strong match
+        np.testing.assert_allclose(corr[:2], -offset[:2], atol=0.011)
+        np.testing.assert_allclose(corr[2], -offset[2], atol=0.006)
+
+    def test_score_improves_after_correction(self):
+        true_pose = np.asarray([5.0, 4.0, 0.0], np.float32)
+        pts, mask, n = make_scan(true_pose, self.world)
+        est = true_pose + np.asarray([0.04, 0.04, 0.0], np.float32)
+        uncorrected = float(self.m.score_points(pts, mask, n, est))
+        res = self.m.match_scan(pts, mask, n, est)
+        corrected = float(self.m.score_points(
+            pts, mask, n, est + np.asarray(res.correction)))
+        assert corrected <= uncorrected
+        # matchScan's normalized best score equals scorePoints at the
+        # corrected pose (same subsample, same normalization).
+        assert corrected == pytest.approx(float(res.score), abs=1e-4)
+
+    def test_score_normalized_per_beam(self):
+        true_pose = np.asarray([5.0, 4.0, 0.0], np.float32)
+        pts, mask, n = make_scan(true_pose, self.world)
+        res = self.m.match_scan(pts, mask, n, true_pose)
+        assert -1.0 - 1e-5 <= float(res.score) <= 0.0
+
+    def test_covariance_symmetric(self):
+        true_pose = np.asarray([5.0, 4.0, 0.0], np.float32)
+        pts, mask, n = make_scan(true_pose, self.world)
+        res = self.m.match_scan(pts, mask, n, true_pose)
+        cov = np.asarray(res.covariance)
+        np.testing.assert_allclose(cov, cov.T, rtol=1e-4)
+
+    def test_no_overlap_returns_zero_correction(self):
+        # Scan far outside the mapped area: all candidates score 0, so the
+        # correction must stay (0,0,0) (best_score init 0, strict <).
+        pts, mask, n = make_scan([5.0, 4.0, 0.0], self.world)
+        far = np.asarray([500.0, 500.0, 0.0], np.float32)
+        res = self.m.match_scan(pts, mask, n, far)
+        assert float(res.score) == 0.0
+        np.testing.assert_array_equal(np.asarray(res.correction), np.zeros(3))
+
+    def test_reset(self):
+        self.m.reset()
+        pts, mask, n = make_scan([5.0, 4.0, 0.0], self.world)
+        res = self.m.match_scan(pts, mask, n, np.zeros(3, np.float32))
+        assert float(res.score) == 0.0
+
+
+class TestRegistry:
+    def test_reference_type_string(self):
+        m = registry.create("ndt_2d::ScanMatcherNDT", CFG, 30.0)
+        assert isinstance(m, matcher.NDTScanMatcher)
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(KeyError):
+            registry.create("nope", CFG, 30.0)
+
+
+class TestWindowCapacity:
+    def test_oversized_window_raises(self):
+        m = registry.create("ndt", dataclasses.replace(CFG, grid_cells_x=32,
+                                                       grid_cells_y=32), 30.0)
+        poses = np.asarray([[0, 0, 0], [200.0, 0, 0]], np.float32)
+        pts = np.zeros((2, 8, 2), np.float32)
+        msk = np.ones((2, 8), bool)
+        with pytest.raises(ValueError):
+            m.add_scans(poses, pts, msk)
