@@ -1,0 +1,196 @@
+"""AMCL-style particle filter with KLD-adaptive resampling, TPU-native.
+
+The reference (src/particle_filter.cpp) loops per particle for the motion
+update and the measurement model and resamples one draw at a time, counting
+occupied (x, y, theta) histogram bins with a custom incremental KD-tree
+(include/ndt_2d/kd_tree.hpp) purely to evaluate the KLD bound.
+
+TPU redesign:
+* motion update: one vectorized sample over all particles,
+* measurement: one batched scorePoints gather over all particles x beams
+  against the global NDT (replaces the loop at particle_filter.cpp:81-88),
+* KLD resampling: draw ``max_particles`` candidates at once, mark
+  first-occurrence of each discretized bin, prefix-sum to get k(m) (the
+  distinct-bin count after m draws == the KD-tree leaf count), evaluate the
+  KLD bound Mx(m) for every prefix in parallel, and pick the first m
+  satisfying ``m >= max(min_particles, Mx(m))`` — bit-for-bit the same
+  stopping rule as the sequential loop (particle_filter.cpp:91-137), with no
+  tree at all.
+
+Deviation from the reference (bug fix): updateStatistics accumulates
+cov(2,2) across calls without zeroing (particle_filter.cpp:216 uses ``+=``
+on a member); we compute it fresh each time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_2d_tpu.config import ParticleFilterConfig
+from ndt_2d_tpu.core.pose import normalize_angle, shortest_angular_distance
+from ndt_2d_tpu.filter import motion_model
+from ndt_2d_tpu.matching import matcher as matcher_mod
+
+
+@jax.jit
+def update_statistics(particles, weights, mask):
+    """Normalize weights; weighted mean (circular for theta) and covariance.
+
+    Mirrors ParticleFilter::updateStatistics (particle_filter.cpp:163-218),
+    including the xy covariance from correlation minus mean outer product and
+    the theta variance via shortest angular distances to the circular mean.
+    """
+    w = jnp.where(mask, weights, 0.0)
+    total = jnp.sum(w)
+    w = jnp.where(total != 0.0, w / total,
+                  mask.astype(w.dtype) / jnp.maximum(jnp.sum(mask), 1))
+
+    mean_xy = jnp.sum(w[:, None] * particles[:, :2], axis=0)
+    sum_cos = jnp.sum(w * jnp.cos(particles[:, 2]))
+    sum_sin = jnp.sum(w * jnp.sin(particles[:, 2]))
+    mean_th = jnp.arctan2(sum_sin, sum_cos)
+    mean = jnp.asarray([mean_xy[0], mean_xy[1], mean_th])
+
+    corr = jnp.einsum("m,mi,mj->ij", w, particles[:, :2], particles[:, :2])
+    cov_xy = corr - jnp.outer(mean_xy, mean_xy)
+    d = shortest_angular_distance(particles[:, 2], mean_th)
+    cov_th = jnp.sum(w * d * d)
+    cov = jnp.zeros((3, 3), particles.dtype)
+    cov = cov.at[:2, :2].set(cov_xy).at[2, 2].set(cov_th)
+    return w, mean, cov
+
+
+@functools.partial(jax.jit, static_argnames=("min_particles", "max_particles"))
+def kld_resample(key, particles, weights, mask, kld_err, kld_z, bin_sizes,
+                 min_particles: int, max_particles: int):
+    """KLD-adaptive resampling as one batched draw + prefix scan.
+
+    Returns (particles, weights, n_active).  Matches the sequential semantics
+    of ParticleFilter::resample (particle_filter.cpp:91-137): weighted draws
+    with replacement; after each draw m the KLD bound
+
+        Mx = (k-1)/(2 eps) * (1 - 2/(9(k-1)) + sqrt(2/(9(k-1))) z)^3
+
+    (truncated to integer, as the C++ double->size_t cast does) is evaluated
+    with k = occupied-bin count among the first m draws; sampling stops at the
+    first m >= max(min_particles, Mx), capped at max_particles.  While k == 1
+    the bound keeps its initial value max_particles.
+    """
+    m_total = max_particles
+    w = jnp.where(mask, weights, 0.0)
+    total = jnp.sum(w)
+    p = jnp.where(total > 0.0, w / total,
+                  mask.astype(w.dtype) / jnp.maximum(jnp.sum(mask), 1))
+    idx = jax.random.choice(key, particles.shape[0], shape=(m_total,), p=p)
+    samp = particles[idx]
+    samp_w = weights[idx]
+
+    # Discretized (x, y, theta) bins; C-style truncation toward zero
+    # (kd_tree.hpp:99-102 uses static_cast<int>).
+    keys = jnp.trunc(samp / bin_sizes[None, :]).astype(jnp.int32)  # [M, 3]
+    same = jnp.all(keys[:, None, :] == keys[None, :, :], axis=-1)  # [M, M]
+    earlier = jnp.tril(same, k=-1).any(axis=1)
+    first = ~earlier
+    k = jnp.cumsum(first.astype(jnp.int32))                        # [M] k(m)
+
+    kf = k.astype(samp.dtype)
+    a = (kf - 1.0) / (2.0 * kld_err)
+    b = 2.0 / (9.0 * jnp.maximum(kf - 1.0, 1.0))
+    c = 1.0 - b + jnp.sqrt(b) * kld_z
+    mx = jnp.floor(a * c * c * c).astype(jnp.int32)
+    mx = jnp.where(k > 1, mx, jnp.int32(m_total))
+
+    m_idx = jnp.arange(1, m_total + 1)
+    done = (m_idx >= min_particles) & (m_idx >= mx)
+    n_active = jnp.where(jnp.any(done),
+                         jnp.argmax(done) + 1, jnp.int32(m_total))
+    return samp, samp_w, n_active.astype(jnp.int32)
+
+
+class ParticleFilter:
+    """Host-side stateful wrapper (the reference class surface:
+    init / update / measure / resample / getMean / getCovariance,
+    include/ndt_2d/particle_filter.hpp:45-115)."""
+
+    def __init__(self, config: ParticleFilterConfig, seed: int = 0):
+        self.config = config
+        self._key = jax.random.PRNGKey(seed)
+        m = config.max_particles
+        self.particles = jnp.zeros((m, 3), jnp.float32)
+        self.weights = jnp.full((m,), 1.0 / config.min_particles, jnp.float32)
+        self.n_active = config.min_particles
+        self._refresh_statistics()
+
+    # ------------------------------------------------------------------
+    def _split(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def mask(self):
+        return jnp.arange(self.config.max_particles) < self.n_active
+
+    def _refresh_statistics(self):
+        self.weights, self._mean, self._cov = update_statistics(
+            self.particles, self.weights, self.mask)
+
+    # ------------------------------------------------------------------
+    def init(self, x, y, theta, sigma_x, sigma_y, sigma_theta):
+        """Gaussian-seed the particle cloud (particle_filter.cpp:53-69)."""
+        noise = jax.random.normal(self._split(), (self.config.max_particles, 3),
+                                  jnp.float32)
+        mean = jnp.asarray([x, y, theta], jnp.float32)
+        sig = jnp.asarray([sigma_x, sigma_y, sigma_theta], jnp.float32)
+        p = mean + noise * sig
+        self.particles = p.at[:, 2].set(normalize_angle(p[:, 2]))
+        self.weights = jnp.full((self.config.max_particles,),
+                                1.0 / self.n_active, jnp.float32)
+        self._refresh_statistics()
+
+    def update(self, dx, dy, dth):
+        """Motion update (particle_filter.cpp:71-76)."""
+        c = self.config
+        self.particles = motion_model.sample(
+            self._split(), self.particles, dx, dy, dth,
+            c.odom_alpha1, c.odom_alpha2, c.odom_alpha3, c.odom_alpha4)
+        self._refresh_statistics()
+
+    def measure(self, matcher, points, point_mask, num_points):
+        """Measurement update: weight_i = scorePoints(scan, particle_i)
+        (particle_filter.cpp:78-89).  The raw (negative) NDT score is used
+        directly as the weight and becomes positive on normalization, exactly
+        as in the reference."""
+        scores = matcher_mod.score_points_batch(
+            matcher.config, matcher.grid, jnp.asarray(points),
+            jnp.asarray(point_mask), jnp.asarray(num_points), self.particles)
+        self.weights = scores
+        self._refresh_statistics()
+
+    def resample(self, kld_err=None, kld_z=None):
+        c = self.config
+        kld_err = c.kld_err if kld_err is None else kld_err
+        kld_z = c.kld_z if kld_z is None else kld_z
+        bins = jnp.asarray([c.kld_bin_x, c.kld_bin_y, c.kld_bin_theta],
+                           jnp.float32)
+        self.particles, self.weights, n = kld_resample(
+            self._split(), self.particles, self.weights, self.mask,
+            jnp.float32(kld_err), jnp.float32(kld_z), bins,
+            c.min_particles, c.max_particles)
+        self.n_active = int(n)
+        self._refresh_statistics()
+
+    # ------------------------------------------------------------------
+    def get_mean(self):
+        return np.asarray(self._mean)
+
+    def get_covariance(self):
+        return np.asarray(self._cov)
+
+    def cloud(self):
+        """Active particles as numpy (the particlecloud PoseArray analog,
+        particle_filter.cpp:149-161)."""
+        return np.asarray(self.particles[:self.n_active])

@@ -7,16 +7,40 @@ on TPU-scale graphs a brute-force masked distance computation is both simpler
 and faster, and is what we do (vectorized numpy on host; the sharded variant
 lives in ndt_2d_tpu.parallel).
 
-Storage is structure-of-arrays numpy with padded point buffers so device
-transfers are zero-copy-ish slices; poses are float64 on host (the graph is
-the source of truth), cast to float32 at device boundaries.
+Storage is structure-of-arrays numpy with amortized capacity doubling (the
+analog of std::vector growth) and padded per-scan point buffers so device
+transfers are contiguous slices; poses are float64 on host (the graph is the
+source of truth), cast to float32 at device boundaries.
 """
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
+
+
+class _GrowableRows:
+    """Amortized-growth row store for a fixed row shape."""
+
+    def __init__(self, row_shape, dtype, initial=64):
+        self._data = np.zeros((initial,) + tuple(row_shape), dtype)
+        self._n = 0
+
+    def append(self, row) -> int:
+        if self._n == self._data.shape[0]:
+            grown = np.zeros((self._data.shape[0] * 2,) + self._data.shape[1:],
+                             self._data.dtype)
+            grown[:self._n] = self._data
+            self._data = grown
+        self._data[self._n] = row
+        self._n += 1
+        return self._n - 1
+
+    @property
+    def view(self) -> np.ndarray:
+        return self._data[:self._n]
+
+    def __len__(self) -> int:
+        return self._n
 
 
 class Graph:
@@ -25,64 +49,90 @@ class Graph:
     def __init__(self, max_points_per_scan: int, use_barycenter: bool = True):
         self.use_barycenter = use_barycenter
         self.max_points = max_points_per_scan
-        self.poses = np.zeros((0, 3), np.float64)
-        self.points = np.zeros((0, max_points_per_scan, 2), np.float32)
-        self.point_mask = np.zeros((0, max_points_per_scan), bool)
-        self._point_means = np.zeros((0, 2), np.float64)  # robot-frame mean
-        self._has_points = np.zeros((0,), bool)
-        # Constraints
-        self.constraint_begin = np.zeros((0,), np.int32)
-        self.constraint_end = np.zeros((0,), np.int32)
-        self.constraint_transform = np.zeros((0, 3), np.float64)
-        self.constraint_information = np.zeros((0, 3, 3), np.float64)
-        self.constraint_switchable = np.zeros((0,), bool)
+        self._poses = _GrowableRows((3,), np.float64)
+        self._points = _GrowableRows((max_points_per_scan, 2), np.float32)
+        self._point_mask = _GrowableRows((max_points_per_scan,), bool)
+        self._point_means = _GrowableRows((2,), np.float64)
+        self._has_points = _GrowableRows((), bool)
+        self._c_begin = _GrowableRows((), np.int32)
+        self._c_end = _GrowableRows((), np.int32)
+        self._c_transform = _GrowableRows((3,), np.float64)
+        self._c_information = _GrowableRows((3, 3), np.float64)
+        self._c_switchable = _GrowableRows((), bool)
 
-    # -- scans ------------------------------------------------------------
+    # -- views ------------------------------------------------------------
+    @property
+    def poses(self) -> np.ndarray:
+        return self._poses.view
+
+    @property
+    def points(self) -> np.ndarray:
+        return self._points.view
+
+    @property
+    def point_mask(self) -> np.ndarray:
+        return self._point_mask.view
+
+    @property
+    def constraint_begin(self) -> np.ndarray:
+        return self._c_begin.view
+
+    @property
+    def constraint_end(self) -> np.ndarray:
+        return self._c_end.view
+
+    @property
+    def constraint_transform(self) -> np.ndarray:
+        return self._c_transform.view
+
+    @property
+    def constraint_information(self) -> np.ndarray:
+        return self._c_information.view
+
+    @property
+    def constraint_switchable(self) -> np.ndarray:
+        return self._c_switchable.view
+
     @property
     def num_scans(self) -> int:
-        return self.poses.shape[0]
+        return len(self._poses)
 
     @property
     def num_constraints(self) -> int:
-        return self.constraint_begin.shape[0]
+        return len(self._c_begin)
 
+    # -- scans ------------------------------------------------------------
     def add_scan(self, pose, points: np.ndarray, point_mask: np.ndarray) -> int:
         """Append a keyframe; returns its id (== index, as in the reference
         where Scan ids are assigned graph_->scans.size(), ndt_mapper.cpp:398)."""
-        scan_id = self.num_scans
-        self.poses = np.concatenate(
-            [self.poses, np.asarray(pose, np.float64)[None]], axis=0)
-        self.points = np.concatenate(
-            [self.points, np.asarray(points, np.float32)[None]], axis=0)
-        self.point_mask = np.concatenate(
-            [self.point_mask, np.asarray(point_mask, bool)[None]], axis=0)
-        n = point_mask.sum()
-        mean = (points[point_mask].mean(0) if n else np.zeros(2))
-        self._point_means = np.concatenate(
-            [self._point_means, np.asarray(mean, np.float64)[None]], axis=0)
-        self._has_points = np.concatenate([self._has_points, [n > 0]])
+        scan_id = self._poses.append(np.asarray(pose, np.float64))
+        self._points.append(np.asarray(points, np.float32))
+        self._point_mask.append(np.asarray(point_mask, bool))
+        n = int(point_mask.sum())
+        mean = points[point_mask].mean(0) if n else np.zeros(2)
+        self._point_means.append(np.asarray(mean, np.float64))
+        self._has_points.append(n > 0)
         return scan_id
 
     def set_poses(self, poses: np.ndarray) -> None:
         """Overwrite all scan poses (after optimization).  Barycenters are
         derived quantities and follow automatically (cf. Scan::setPose
         marking the cached barycenter dirty, src/scan.cpp:44-48)."""
-        assert poses.shape == self.poses.shape
-        self.poses = np.asarray(poses, np.float64)
+        view = self._poses.view
+        assert poses.shape == view.shape
+        view[:] = poses
 
     def barycenters(self) -> np.ndarray:
         """[N, 2] barycenter of each scan: pose + R(theta) * mean(points)
         (src/scan.cpp:72-91); equals the pose position for empty scans."""
-        th = self.poses[:, 2]
+        poses = self.poses
+        th = poses[:, 2]
         c, s = np.cos(th), np.sin(th)
-        mx, my = self._point_means[:, 0], self._point_means[:, 1]
+        means = self._point_means.view
+        mx, my = means[:, 0], means[:, 1]
         off = np.stack([c * mx - s * my, s * mx + c * my], axis=-1)
-        return self.poses[:, :2] + np.where(self._has_points[:, None], off, 0.0)
-
-    def query_position(self, scan_id: int) -> np.ndarray:
-        if self.use_barycenter:
-            return self.barycenters()[scan_id]
-        return self.poses[scan_id, :2]
+        has = self._has_points.view[:, None]
+        return poses[:, :2] + np.where(has, off, 0.0)
 
     def find_nearest(self, query_xy, dist: float = 10.0,
                      limit_scan_index: int = -1) -> np.ndarray:
@@ -106,18 +156,11 @@ class Graph:
     # -- constraints ------------------------------------------------------
     def add_constraint(self, begin: int, end: int, transform, information,
                        switchable: bool = False) -> None:
-        self.constraint_begin = np.concatenate(
-            [self.constraint_begin, [np.int32(begin)]])
-        self.constraint_end = np.concatenate(
-            [self.constraint_end, [np.int32(end)]])
-        self.constraint_transform = np.concatenate(
-            [self.constraint_transform,
-             np.asarray(transform, np.float64)[None]], axis=0)
-        self.constraint_information = np.concatenate(
-            [self.constraint_information,
-             np.asarray(information, np.float64)[None]], axis=0)
-        self.constraint_switchable = np.concatenate(
-            [self.constraint_switchable, [bool(switchable)]])
+        self._c_begin.append(np.int32(begin))
+        self._c_end.append(np.int32(end))
+        self._c_transform.append(np.asarray(transform, np.float64))
+        self._c_information.append(np.asarray(information, np.float64))
+        self._c_switchable.append(bool(switchable))
 
 
 def make_constraint_np(graph: Graph, begin: int, end: int,

@@ -1,0 +1,442 @@
+"""The mapper runtime: SLAM / localization orchestration.
+
+TPU-native re-design of the reference's ``ndt_2d::Mapper`` node
+(src/ndt_mapper.cpp:48-749).  The reference runs three POSIX threads sharing
+state under two mutexes (README.md:129-142); here the runtime is a
+single-threaded, deterministic host loop driving jitted device computations:
+
+* ``process_scan``  == laserCallback (ndt_mapper.cpp:267-567): motion gate,
+  odometry dead-reckoning, de-skewed projection, then the mapping /
+  particle-filter / scan-match-localization branch.
+* ``loop_closure``  == one iteration of loopClosureThread
+  (ndt_mapper.cpp:569-685), invoked synchronously on a scan cadence
+  (config.loop_closure_every) instead of a 1 Hz wall-clock thread.
+* ``render_map`` / ``map_to_odom`` == mapPublishThread products
+  (ndt_mapper.cpp:687-744), computed on demand.
+* ``set_initial_pose`` == poseCallback (ndt_mapper.cpp:188-265).
+* ``configure``      == the Configure service (ndt_mapper.cpp:155-186).
+
+Instead of TF lookups, callers pass the odometry-frame robot pose at scan
+start (and optionally scan end, for de-skew) along with each scan message.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import numpy as np
+
+from ndt_2d_tpu.config import MapperConfig
+from ndt_2d_tpu.graph import pose_graph, solver
+from ndt_2d_tpu.filter.particle_filter import ParticleFilter
+from ndt_2d_tpu.mapping import laser, occupancy
+from ndt_2d_tpu.matching import registry
+from ndt_2d_tpu.utils.sim import LaserScanMsg
+
+logger = logging.getLogger("ndt_2d_tpu.mapper")
+
+
+def _normalize_angle(a: float) -> float:
+    return float(a - 2.0 * np.pi * np.floor((a + np.pi) / (2.0 * np.pi)))
+
+
+# Configure service actions (srv/Configure.srv).
+ENABLE_MAPPING = 1
+DISABLE_MAPPING = 2
+LOAD_FROM_FILE = 4
+SAVE_TO_FILE = 8
+
+
+@dataclasses.dataclass
+class ScanResult:
+    """Outcome of one process_scan call (the reference logs these,
+    ndt_mapper.cpp:497-517)."""
+
+    accepted: bool
+    scan_id: int = -1
+    pose: Optional[np.ndarray] = None
+    uncorrected_score: float = 0.0
+    matched_score: float = 0.0
+    correction: Optional[np.ndarray] = None
+
+
+class Mapper:
+    def __init__(self, config: MapperConfig = MapperConfig(),
+                 graph: Optional[pose_graph.Graph] = None,
+                 laser_transform=np.zeros(3), laser_inverted: bool = False,
+                 seed: int = 0):
+        self.config = config
+        self.enable_mapping = config.enable_mapping
+        self.use_particle_filter = config.use_particle_filter
+        self.range_max = config.max_range
+
+        loaded = graph is not None
+        self.graph = graph if loaded else pose_graph.Graph(
+            config.max_points_per_scan, config.use_barycenter)
+
+        self.laser_transform = np.asarray(laser_transform, np.float64)
+        self.laser_inverted = laser_inverted
+
+        self.local_matcher = None
+        self.global_matcher = None
+
+        self.prev_odom_pose = np.zeros(3)
+        self.prev_robot_pose = np.zeros(3)
+        # A loaded map requires re-localization first (ndt_mapper.cpp:114).
+        self.prev_odom_pose_is_initialized = not loaded
+
+        self.typical_matcher_response = -0.5   # ndt_mapper.cpp:55
+        self.global_scans_processed = 0
+        self.optimization_last = 0
+        self.map_update_available = loaded
+
+        self.filter: Optional[ParticleFilter] = None
+        if self.use_particle_filter:
+            self.filter = ParticleFilter(config.particle_filter, seed=seed)
+
+        self._scans_since_loop_closure = 0
+
+    # ------------------------------------------------------------------
+    def _ensure_matchers(self, msg_range_max: float) -> None:
+        """Lazy matcher construction on the first scan (the reference defers
+        until range_max is known, ndt_mapper.cpp:270-313)."""
+        if self.local_matcher is not None:
+            return
+        if self.range_max < 0:
+            self.range_max = float(msg_range_max)
+        mtype = self.config.scan_matcher_type
+        self.global_matcher = registry.create(
+            mtype, self.config.global_scan_matcher, self.range_max)
+        self.local_matcher = registry.create(
+            mtype, self.config.local_scan_matcher, self.range_max)
+        if self.use_particle_filter or not self.enable_mapping:
+            # Localization: global NDT over ALL scans of the loaded map
+            # (ndt_mapper.cpp:296-303), built once.
+            if self.graph.num_scans:
+                self.global_matcher.add_scans(
+                    self.graph.poses.astype(np.float32), self.graph.points,
+                    self.graph.point_mask)
+
+    # ------------------------------------------------------------------
+    def set_initial_pose(self, pose, covariance, odom_pose) -> bool:
+        """poseCallback (ndt_mapper.cpp:188-265).
+
+        Args:
+          pose: (x, y, theta) in map frame; covariance: [3, 3] or diagonal 3;
+          odom_pose: current robot pose in the odometry frame.
+        """
+        if self.enable_mapping and self.prev_odom_pose_is_initialized:
+            logger.warning("Ignoring initial pose, already mapping")
+            return False
+        pose = np.asarray(pose, np.float64)
+        cov = np.asarray(covariance, np.float64)
+        if cov.ndim == 1:
+            cov = np.diag(cov)
+
+        if self.use_particle_filter:
+            self.filter.init(pose[0], pose[1], pose[2],
+                             np.sqrt(cov[0, 0]), np.sqrt(cov[1, 1]),
+                             np.sqrt(cov[2, 2]))
+        elif self.enable_mapping:
+            # Connect this pose to the graph (ndt_mapper.cpp:231-256).
+            nearest = self.graph.find_nearest(pose[:2])
+            if len(nearest) == 0:
+                logger.error(
+                    "Cannot localize robot, not close enough to existing graph")
+                return False
+            empty_pts = np.zeros((self.config.max_points_per_scan, 2),
+                                 np.float32)
+            empty_mask = np.zeros(self.config.max_points_per_scan, bool)
+            scan_id = self.graph.add_scan(pose, empty_pts, empty_mask)
+            pose_graph.make_constraint_np(self.graph, int(nearest[0]),
+                                          scan_id, cov)
+
+        self.prev_robot_pose = pose.copy()
+        self.prev_odom_pose = np.asarray(odom_pose, np.float64).copy()
+        self.prev_odom_pose_is_initialized = True
+        logger.info("Localized to %f, %f, %f", *pose)
+        return True
+
+    # ------------------------------------------------------------------
+    def process_scan(self, msg: LaserScanMsg, odom_pose,
+                     odom_pose_end=None) -> ScanResult:
+        """laserCallback (ndt_mapper.cpp:267-567)."""
+        self._ensure_matchers(msg.range_max)
+
+        if not self.prev_odom_pose_is_initialized:
+            logger.warning("Can not handle scan, not localized within map")
+            return ScanResult(accepted=False)
+
+        odom_pose = np.asarray(odom_pose, np.float64)
+        robot_pose = np.zeros(3)
+
+        if self.graph.num_scans:
+            # Motion gate (ndt_mapper.cpp:343-355).
+            dx = odom_pose[0] - self.prev_odom_pose[0]
+            dy = odom_pose[1] - self.prev_odom_pose[1]
+            dth = _normalize_angle(odom_pose[2] - self.prev_odom_pose[2])
+            dist = dx * dx + dy * dy
+            cfg = self.config
+            if (dist < cfg.minimum_travel_distance ** 2
+                    and abs(dth) < cfg.minimum_travel_rotation):
+                return ScanResult(accepted=False)
+            # Dead-reckon the map-frame pose from the odometry delta,
+            # corrected by the odom->map heading offset (ndt_mapper.cpp:357-364).
+            heading = _normalize_angle(
+                self.prev_robot_pose[2] - self.prev_odom_pose[2])
+            ch, sh = np.cos(heading), np.sin(heading)
+            robot_pose = np.asarray([
+                self.prev_robot_pose[0] + dx * ch - dy * sh,
+                self.prev_robot_pose[1] + dx * sh + dy * ch,
+                _normalize_angle(self.prev_robot_pose[2] + dth)])
+
+        # De-skew translation: odometry motion across the sweep
+        # (ndt_mapper.cpp:366-395).
+        if odom_pose_end is not None:
+            translation = np.asarray(odom_pose_end, np.float64) - odom_pose
+        else:
+            translation = np.zeros(3)
+
+        points, mask = laser.project_scan(
+            msg, self.range_max, self.laser_transform, self.laser_inverted,
+            translation, self.config.max_points_per_scan)
+        num_points = int(mask.sum())
+
+        if self.use_particle_filter:
+            return self._process_particle_filter(robot_pose, odom_pose,
+                                                 points, mask, num_points)
+        elif self.enable_mapping:
+            return self._process_mapping(robot_pose, odom_pose, points, mask,
+                                         num_points)
+        else:
+            return self._process_localization(robot_pose, odom_pose, points,
+                                              mask, num_points)
+
+    # ------------------------------------------------------------------
+    def _process_mapping(self, robot_pose, odom_pose, points, mask,
+                         num_points) -> ScanResult:
+        """Mapping branch (ndt_mapper.cpp:495-546)."""
+        g = self.graph
+        uncorrected = 0.0
+        matched = 0.0
+        correction = np.zeros(3)
+        covariance = None
+        pose = robot_pose.copy()
+
+        if g.num_scans:
+            # Rolling window of the last rolling_depth scans
+            # (ndt_mapper.cpp:504-509).
+            start = max(0, g.num_scans - self.config.rolling_depth)
+            self.local_matcher.reset()
+            self.local_matcher.add_scans(
+                g.poses[start:].astype(np.float32), g.points[start:],
+                g.point_mask[start:])
+            uncorrected = float(self.local_matcher.score_points(
+                points, mask, num_points, pose.astype(np.float32)))
+            res = self.local_matcher.match_scan(
+                points, mask, num_points, pose.astype(np.float32))
+            matched = float(res.score)
+            correction = np.asarray(res.correction, np.float64)
+            covariance = np.asarray(res.covariance, np.float64)
+            # EWMA of match quality -> loop-closure accept threshold
+            # (ndt_mapper.cpp:518).
+            self.typical_matcher_response = (
+                0.95 * self.typical_matcher_response + 0.05 * matched)
+            pose = pose + correction
+
+        scan_id = g.add_scan(pose, points, mask)
+        if scan_id > 0:
+            # Odometry constraint from the previous scan (ndt_mapper.cpp:527-529).
+            pose_graph.make_constraint_np(g, scan_id - 1, scan_id, covariance)
+
+        self.prev_odom_pose = odom_pose.copy()
+        self.prev_robot_pose = pose.copy()
+        self.map_update_available = True
+
+        self._scans_since_loop_closure += 1
+        if self._scans_since_loop_closure >= self.config.loop_closure_every:
+            self.loop_closure()
+
+        return ScanResult(accepted=True, scan_id=scan_id, pose=pose,
+                          uncorrected_score=uncorrected,
+                          matched_score=matched, correction=correction)
+
+    # ------------------------------------------------------------------
+    def _process_localization(self, robot_pose, odom_pose, points, mask,
+                              num_points) -> ScanResult:
+        """Scan-match-only localization branch (ndt_mapper.cpp:547-566)."""
+        uncorrected = float(self.global_matcher.score_points(
+            points, mask, num_points, robot_pose.astype(np.float32)))
+        res = self.global_matcher.match_scan(
+            points, mask, num_points, robot_pose.astype(np.float32))
+        correction = np.asarray(res.correction, np.float64)
+        pose = robot_pose + correction
+        self.prev_odom_pose = odom_pose.copy()
+        self.prev_robot_pose = pose.copy()
+        return ScanResult(accepted=True, pose=pose,
+                          uncorrected_score=uncorrected,
+                          matched_score=float(res.score),
+                          correction=correction)
+
+    # ------------------------------------------------------------------
+    def _process_particle_filter(self, robot_pose, odom_pose, points, mask,
+                                 num_points) -> ScanResult:
+        """Particle-filter branch (ndt_mapper.cpp:455-494)."""
+        # Robot-centric control from the map-frame delta (ndt_mapper.cpp:457-468).
+        delta = robot_pose[:2] - self.prev_robot_pose[:2]
+        c = np.cos(-self.prev_robot_pose[2])
+        s = np.sin(-self.prev_robot_pose[2])
+        control = np.asarray([
+            c * delta[0] - s * delta[1],
+            s * delta[0] + c * delta[1],
+            _normalize_angle(robot_pose[2] - self.prev_robot_pose[2])])
+
+        f = self.filter
+        f.update(control[0], control[1], control[2])
+        f.measure(self.global_matcher, points, mask, num_points)
+        f.resample(self.config.particle_filter.kld_err,
+                   self.config.particle_filter.kld_z)
+
+        pose = np.asarray(f.get_mean(), np.float64)
+        self.prev_odom_pose = odom_pose.copy()
+        self.prev_robot_pose = pose.copy()
+        return ScanResult(accepted=True, pose=pose)
+
+    # ------------------------------------------------------------------
+    def loop_closure(self) -> int:
+        """One pass of the loop-closure search (loopClosureThread body,
+        ndt_mapper.cpp:569-685).  Returns the number of closures added."""
+        self._scans_since_loop_closure = 0
+        if not self.enable_mapping:
+            return 0
+        g = self.graph
+        num_scans = g.num_scans
+        depth = self.config.rolling_depth
+        if num_scans <= depth:
+            return 0
+        if self.global_scans_processed <= depth:
+            self.global_scans_processed = depth + 1
+
+        added = 0
+        new_matches = False
+        while self.global_scans_processed < num_scans:
+            idx = self.global_scans_processed
+            rolling = idx - depth
+            query = (g.barycenters()[idx] if g.use_barycenter
+                     else g.poses[idx, :2])
+            candidates = g.find_nearest(
+                query, self.config.global_search_size, rolling)
+
+            checks_left = self.config.global_search_limit
+            for i in candidates:
+                i = int(i)
+                if not g.point_mask[i].any():
+                    continue  # skip point-less scans (ndt_mapper.cpp:625)
+                # Candidate region: one extra scan on either side
+                # (ndt_mapper.cpp:627-631; end index is exclusive).
+                begin_idx = i - 1 if i > 0 else i
+                end_idx = i + 1 if i < rolling else i
+                self.global_matcher.reset()
+                self.global_matcher.add_scans(
+                    g.poses[begin_idx:end_idx].astype(np.float32),
+                    g.points[begin_idx:end_idx],
+                    g.point_mask[begin_idx:end_idx])
+                pose32 = g.poses[idx].astype(np.float32)
+                n = int(g.point_mask[idx].sum())
+                res = self.global_matcher.match_scan(
+                    g.points[idx], g.point_mask[idx], n, pose32)
+                score = float(res.score)
+                if np.isfinite(score) and score < self.typical_matcher_response:
+                    new_matches = True
+                    added += 1
+                    logger.info("***Adding loop closure from %d to %d (score %f)",
+                                i, idx, score)
+                    new_pose = g.poses[idx] + np.asarray(res.correction,
+                                                        np.float64)
+                    poses = g.poses.copy()
+                    poses[idx] = new_pose
+                    g.set_poses(poses)
+                    pose_graph.make_constraint_np(
+                        g, i, idx, np.asarray(res.covariance, np.float64),
+                        switchable=True)
+                    self.map_update_available = True
+                else:
+                    logger.info("***Rejecting loop closure from %d to %d (score %f)",
+                                i, idx, score)
+                checks_left -= 1
+                if checks_left == 0:
+                    break
+            self.global_scans_processed += 1
+
+        # Optimization cadence (ndt_mapper.cpp:676-683).
+        if new_matches and (num_scans - self.optimization_last
+                            > self.config.optimization_node_limit):
+            logger.info("Optimizing pose graph")
+            solver.solve_graph(g, self.config.solver)
+            self.optimization_last = g.num_scans
+            self.map_update_available = True
+        return added
+
+    def optimize(self) -> bool:
+        """Force a pose-graph optimization."""
+        ok = solver.solve_graph(self.graph, self.config.solver)
+        if ok:
+            self.optimization_last = self.graph.num_scans
+            self.map_update_available = True
+        return ok
+
+    # ------------------------------------------------------------------
+    def render_map(self) -> occupancy.OccupancyGridResult:
+        """Occupancy-grid export (mapPublishThread, ndt_mapper.cpp:696-705)."""
+        self.map_update_available = False
+        g = self.graph
+        return occupancy.render_occupancy(
+            g.poses, g.points, g.point_mask, self.config.resolution,
+            self.config.occupancy_threshold)
+
+    def graph_snapshot(self) -> dict:
+        """Graph visualization data (Graph::getMsg, src/graph.cpp:191-256)."""
+        g = self.graph
+        return {
+            "nodes": g.poses[:, :2].copy(),
+            "edges": np.stack([g.constraint_begin, g.constraint_end], -1),
+            "switchable": g.constraint_switchable.copy(),
+        }
+
+    def map_to_odom(self) -> np.ndarray:
+        """map->odom transform = (map->robot) * (odom->robot)^-1
+        (ndt_mapper.cpp:722-739)."""
+        mr = self.prev_robot_pose
+        orp = self.prev_odom_pose
+        th = _normalize_angle(mr[2] - orp[2])
+        c, s = np.cos(th), np.sin(th)
+        return np.asarray([mr[0] - (c * orp[0] - s * orp[1]),
+                           mr[1] - (s * orp[0] + c * orp[1]),
+                           th])
+
+    # ------------------------------------------------------------------
+    def configure(self, action: int, filename: str = "") -> bool:
+        """Configure service (srv/Configure.srv, ndt_mapper.cpp:155-186)."""
+        from ndt_2d_tpu.io import serialization
+        if action & ENABLE_MAPPING:
+            logger.info("Enabling mapping")
+            self.enable_mapping = True
+        elif action & DISABLE_MAPPING:
+            logger.info("Disabling mapping")
+            self.enable_mapping = False
+            self.prev_odom_pose_is_initialized = False
+        if action & LOAD_FROM_FILE:
+            logger.info("Loading map from %s", filename)
+            self.graph = serialization.load_graph(
+                filename, self.config.max_points_per_scan,
+                self.config.use_barycenter)
+            self.map_update_available = True
+            self.prev_odom_pose_is_initialized = False
+            self.global_scans_processed = 0
+            self.optimization_last = 0
+        elif action & SAVE_TO_FILE:
+            logger.info("Saving map to %s", filename)
+            serialization.save_graph(self.graph, filename)
+        return True

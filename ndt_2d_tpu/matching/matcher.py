@@ -94,23 +94,14 @@ def _search_offsets(config: ScanMatcherConfig, dtype=jnp.float32):
     return a, l
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
-               point_mask, num_points, pose, range_max) -> MatchResult:
-    """Exhaustive 3-DoF search of one scan against the window NDT.
+def candidate_scores(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                     spts, smask, pose, dths, dls):
+    """Score a block of candidate poses: [A_blk, L, L] negative likelihoods.
 
-    Args:
-      grid: the window NDT (from build_window_ndt).
-      points: [P, 2] robot-frame scan points (padded), point_mask: [P],
-      num_points: scalar int, pose: [3] current scan pose estimate.
+    The computational core of the search; the multichip matcher
+    (ndt_2d_tpu.parallel.matcher) calls this per-device on an angle shard.
     """
-    del range_max  # part of the signature for symmetry; unused here
     W, H = config.grid_cells_x, config.grid_cells_y
-    A, L, B = config.num_angles, config.num_linear, config.laser_max_beams
-
-    spts, smask, used = subsample(points, point_mask, num_points, B)
-    dths, dls = _search_offsets(config, spts.dtype)
-
     # Rotate once per angle (outer loop of the reference), then broadcast
     # translations: world point = R(theta+dth) p + pose_xy + (dx, dy).
     th = pose[2] + dths                                   # [A]
@@ -136,13 +127,23 @@ def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
     qy = wy - mean[..., 1]
     e = -0.5 * (info[..., 0] * qx * qx + 2.0 * info[..., 1] * qx * qy
                 + info[..., 2] * qy * qy)
+    # Clamp like ndt.grid.score_points: guards against float32 round-off
+    # making a floored information matrix slightly indefinite.
     pt_scores = jnp.where(inb & scorable & smask[None, None, None, :],
-                          jnp.exp(e), 0.0)
+                          jnp.exp(jnp.minimum(e, 0.0)), 0.0)
 
     # Candidate scores: negative likelihood sum (lower is better).
-    cand = -jnp.sum(pt_scores, axis=-1)                   # [A, L, L]
+    return -jnp.sum(pt_scores, axis=-1)                   # [A, L, L]
 
-    # Best candidate with the reference's strict `< 0` acceptance.
+
+def reduce_candidates(cand, dths, dls):
+    """Best-candidate + Olson covariance reduction over a candidate block.
+
+    Returns (best, correction [3], k [3,3], u [3], s) — k/u/s are the raw
+    covariance accumulators (src/scan_matcher_ndt.cpp:136-141) so that
+    multi-device partial reductions can be psum'd before the final divide.
+    """
+    a, l = cand.shape[0], cand.shape[1]
     flat_cand = cand.reshape(-1)
     best_idx = jnp.argmin(flat_cand)
     best = flat_cand[best_idx]
@@ -152,21 +153,43 @@ def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
         jnp.stack([dls[xi], dls[yi], dths[ai]]),
         jnp.zeros(3, cand.dtype))
 
-    # Olson covariance over the full search distribution
-    # (src/scan_matcher_ndt.cpp:136-146).
-    x = jnp.stack([jnp.broadcast_to(dls[None, :, None], (A, L, L)),
-                   jnp.broadcast_to(dls[None, None, :], (A, L, L)),
-                   jnp.broadcast_to(dths[:, None, None], (A, L, L))],
+    x = jnp.stack([jnp.broadcast_to(dls[None, :, None], (a, l, l)),
+                   jnp.broadcast_to(dls[None, None, :], (a, l, l)),
+                   jnp.broadcast_to(dths[:, None, None], (a, l, l))],
                   axis=-1)  # [A, L, L, 3] candidate (dx, dy, dth)
     sw = cand[..., None]
     u = jnp.sum(x * sw, axis=(0, 1, 2))                   # [3]
-    k = jnp.sum(x[..., :, None] * x[..., None, :] * sw[..., None], axis=(0, 1, 2))
-    ssum = jnp.sum(cand)
-    covariance = k / ssum + (u[:, None] * u[None, :]) / (ssum * ssum)
+    k = jnp.sum(x[..., :, None] * x[..., None, :] * sw[..., None],
+                axis=(0, 1, 2))
+    s = jnp.sum(cand)
+    return best, correction, k, u, s
 
-    used_f = jnp.maximum(used, 1).astype(cand.dtype)
+
+def finalize_match(best, correction, k, u, s, used) -> MatchResult:
+    """Olson covariance (cov = K/s + u u^T / s^2) + per-beam normalization."""
+    covariance = k / s + (u[:, None] * u[None, :]) / (s * s)
+    used_f = jnp.maximum(used, 1).astype(best.dtype)
     return MatchResult(score=best / used_f, correction=correction,
                        covariance=covariance)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
+               point_mask, num_points, pose, range_max) -> MatchResult:
+    """Exhaustive 3-DoF search of one scan against the window NDT.
+
+    Args:
+      grid: the window NDT (from build_window_ndt).
+      points: [P, 2] robot-frame scan points (padded), point_mask: [P],
+      num_points: scalar int, pose: [3] current scan pose estimate.
+    """
+    del range_max  # part of the signature for symmetry; unused here
+    B = config.laser_max_beams
+    spts, smask, used = subsample(points, point_mask, num_points, B)
+    dths, dls = _search_offsets(config, spts.dtype)
+    cand = candidate_scores(config, grid, spts, smask, pose, dths, dls)
+    best, correction, k, u, s = reduce_candidates(cand, dths, dls)
+    return finalize_match(best, correction, k, u, s, used)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -196,7 +196,11 @@ def score_points(grid: NDTGrid, points, mask, width: int, height: int):
     qx, qy = q[..., 0], q[..., 1]
     e = -0.5 * (info[..., 0] * qx * qx + 2.0 * info[..., 1] * qx * qy
                 + info[..., 2] * qy * qy)
-    s = jnp.exp(e)
+    # A true Gaussian score never exceeds 1; clamping guards against float32
+    # round-off making a floored information matrix slightly indefinite
+    # (exp of a positive exponent would overflow to inf and poison the
+    # matcher-score EWMA).
+    s = jnp.exp(jnp.minimum(e, 0.0))
     return jnp.where(valid & scorable, s, 0.0)
 
 
