@@ -1,0 +1,258 @@
+"""Command-line interface.
+
+Covers the reference's runtime tooling surface (scripts/enable_mapping.py,
+disable_mapping.py, save_map.py, load_map.py + launching the node) in one
+binary:
+
+  python -m ndt_2d_tpu.cli simulate --world corridor --scans 200 --out bag.npz
+  python -m ndt_2d_tpu.cli run --bag bag.npz --map-out map.npz
+  python -m ndt_2d_tpu.cli localize --bag bag.npz --map map.npz [--particle-filter]
+  python -m ndt_2d_tpu.cli enable-mapping / disable-mapping --socket CTL
+  python -m ndt_2d_tpu.cli save-map --socket CTL --filename map.npz
+  python -m ndt_2d_tpu.cli load-map --socket CTL --filename map.npz
+  python -m ndt_2d_tpu.cli info --map map.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+
+import numpy as np
+
+
+def _add_matcher_args(p: argparse.ArgumentParser, ns: str) -> None:
+    """Expose the reference's namespaced matcher parameters
+    (scan_matcher_ndt.cpp:37-44) as CLI flags."""
+    for name, default in [("ndt_resolution", 0.25),
+                          ("search_angular_resolution", 0.0025),
+                          ("search_angular_size", 0.1),
+                          ("search_linear_resolution", 0.005),
+                          ("search_linear_size", 0.05)]:
+        p.add_argument(f"--{ns}.{name}", type=float, default=None,
+                       dest=f"{ns}__{name}")
+    p.add_argument(f"--{ns}.laser_max_beams", type=int, default=None,
+                   dest=f"{ns}__laser_max_beams")
+    p.add_argument(f"--{ns}.grid_cells", type=int, default=None,
+                   dest=f"{ns}__grid_cells")
+
+
+def _matcher_config(args, ns: str):
+    from ndt_2d_tpu.config import ScanMatcherConfig
+    kw = {}
+    for f in ("ndt_resolution", "search_angular_resolution",
+              "search_angular_size", "search_linear_resolution",
+              "search_linear_size", "laser_max_beams"):
+        v = getattr(args, f"{ns}__{f}", None)
+        if v is not None:
+            kw[f] = v
+    gc = getattr(args, f"{ns}__grid_cells", None)
+    if gc is not None:
+        kw["grid_cells_x"] = gc
+        kw["grid_cells_y"] = gc
+    return ScanMatcherConfig(**kw)
+
+
+def _mapper_config(args):
+    from ndt_2d_tpu.config import MapperConfig
+    kw = {}
+    for f in ("resolution", "minimum_travel_distance",
+              "minimum_travel_rotation", "global_search_size",
+              "occupancy_threshold", "max_range"):
+        v = getattr(args, f.replace("-", "_"), None)
+        if v is not None:
+            kw[f] = v
+    for f in ("rolling_depth", "global_search_limit",
+              "optimization_node_limit", "loop_closure_every",
+              "max_points_per_scan"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    if getattr(args, "particle_filter", False):
+        kw["use_particle_filter"] = True
+    if getattr(args, "no_mapping", False):
+        kw["enable_mapping"] = False
+    kw["local_scan_matcher"] = _matcher_config(args, "local_scan_matcher")
+    kw["global_scan_matcher"] = _matcher_config(args, "global_scan_matcher")
+    return MapperConfig(**kw)
+
+
+def cmd_simulate(args) -> int:
+    from ndt_2d_tpu.io import bag as bag_mod
+    bag = bag_mod.record_synthetic(
+        args.world, args.scans, n_beams=args.beams, range_max=args.range_max,
+        scan_noise=args.scan_noise, odom_trans_noise=args.odom_noise,
+        odom_rot_noise=args.odom_rot_noise, seed=args.seed)
+    bag_mod.save_bag(bag, args.out)
+    print(json.dumps({"out": args.out, "scans": len(bag),
+                      "beams": args.beams}))
+    return 0
+
+
+def _run_session(args, localize: bool) -> int:
+    from ndt_2d_tpu.io import bag as bag_mod
+    from ndt_2d_tpu.io import serialization
+    from ndt_2d_tpu.mapping import runtime
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    cfg = _mapper_config(args)
+    bag = bag_mod.load_bag(args.bag)
+
+    graph = None
+    if getattr(args, "map", None):
+        graph = serialization.load_graph(args.map, cfg.max_points_per_scan,
+                                         cfg.use_barycenter)
+    if localize:
+        cfg = dataclasses.replace(cfg, enable_mapping=False)
+    mapper = Mapper(cfg, graph=graph)
+
+    control = None
+    if args.socket:
+        control = runtime.ControlServer(mapper, args.socket)
+
+    if localize or graph is not None:
+        # Seed localization at the bag's first true/odometric pose.
+        init = (metrics.relative_to_first(bag.truth)[0]
+                if bag.truth is not None else np.zeros(3))
+        mapper.set_initial_pose(init, np.diag([0.25, 0.25, 0.06]),
+                                bag.odom[0])
+
+    def progress(t, res):
+        if args.verbose and res.accepted:
+            print(f"scan {t}: pose={np.round(res.pose, 3) if res.pose is not None else None} "
+                  f"score={res.matched_score:.3f}", file=sys.stderr)
+
+    stats = runtime.run_bag(mapper, bag, progress=progress, control=control)
+
+    if getattr(args, "map_out", None):
+        mapper.configure(8, args.map_out)  # SAVE_TO_FILE
+        stats["map_out"] = args.map_out
+    if getattr(args, "grid_out", None):
+        grid = mapper.render_map()
+        np.savez_compressed(args.grid_out, data=grid.data, origin=grid.origin,
+                            resolution=grid.resolution)
+        stats["grid_out"] = args.grid_out
+    if control:
+        control.close()
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_run(args) -> int:
+    return _run_session(args, localize=False)
+
+
+def cmd_localize(args) -> int:
+    return _run_session(args, localize=True)
+
+
+def cmd_configure(args, action: int) -> int:
+    from ndt_2d_tpu.mapping import runtime
+    out = runtime.send_configure(args.socket, action,
+                                 getattr(args, "filename", "") or "")
+    print(json.dumps(out))
+    return 0 if out.get("ok") else 1
+
+
+def cmd_info(args) -> int:
+    from ndt_2d_tpu.io import serialization
+    g = serialization.load_graph(args.map, 512)
+    print(json.dumps({
+        "scans": g.num_scans,
+        "constraints": g.num_constraints,
+        "loop_closures": int(g.constraint_switchable.sum()),
+        "bounds_min": g.poses[:, :2].min(0).tolist() if g.num_scans else None,
+        "bounds_max": g.poses[:, :2].max(0).tolist() if g.num_scans else None,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.WARNING)
+    ap = argparse.ArgumentParser(prog="ndt_2d_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("simulate", help="generate a synthetic scan bag")
+    p.add_argument("--world", choices=["corridor", "box", "office"],
+                   default="corridor")
+    p.add_argument("--scans", type=int, default=200)
+    p.add_argument("--beams", type=int, default=360)
+    p.add_argument("--range-max", type=float, default=15.0)
+    p.add_argument("--scan-noise", type=float, default=0.01)
+    p.add_argument("--odom-noise", type=float, default=0.008)
+    p.add_argument("--odom-rot-noise", type=float, default=0.002)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_simulate)
+
+    for name, localize in [("run", False), ("localize", True)]:
+        p = sub.add_parser(name, help=("replay a bag " +
+                                       ("localizing" if localize
+                                        else "mapping")))
+        p.add_argument("--bag", required=True)
+        p.add_argument("--map", default=None,
+                       help="existing map to load (resume/localize)")
+        p.add_argument("--map-out", default=None)
+        p.add_argument("--grid-out", default=None,
+                       help="occupancy grid npz output")
+        p.add_argument("--socket", default=None,
+                       help="UNIX socket path for runtime control")
+        p.add_argument("--particle-filter", action="store_true")
+        p.add_argument("--no-mapping", action="store_true")
+        p.add_argument("--verbose", action="store_true")
+        # mapper params (ndt_mapper.cpp:59-103)
+        p.add_argument("--resolution", type=float, default=None)
+        p.add_argument("--minimum-travel-distance", type=float, default=None,
+                       dest="minimum_travel_distance")
+        p.add_argument("--minimum-travel-rotation", type=float, default=None,
+                       dest="minimum_travel_rotation")
+        p.add_argument("--rolling-depth", type=int, default=None,
+                       dest="rolling_depth")
+        p.add_argument("--global-search-size", type=float, default=None,
+                       dest="global_search_size")
+        p.add_argument("--global-search-limit", type=int, default=None,
+                       dest="global_search_limit")
+        p.add_argument("--optimization-node-limit", type=int, default=None,
+                       dest="optimization_node_limit")
+        p.add_argument("--loop-closure-every", type=int, default=None,
+                       dest="loop_closure_every")
+        p.add_argument("--max-points-per-scan", type=int, default=None,
+                       dest="max_points_per_scan")
+        p.add_argument("--occupancy-threshold", type=float, default=None,
+                       dest="occupancy_threshold")
+        p.add_argument("--max-range", type=float, default=None,
+                       dest="max_range")
+        _add_matcher_args(p, "local_scan_matcher")
+        _add_matcher_args(p, "global_scan_matcher")
+        p.set_defaults(fn=cmd_run if not localize else cmd_localize)
+
+    # The four reference scripts (scripts/*.py) as control-channel verbs.
+    p = sub.add_parser("enable-mapping")
+    p.add_argument("--socket", required=True)
+    p.set_defaults(fn=lambda a: cmd_configure(a, 1))
+    p = sub.add_parser("disable-mapping")
+    p.add_argument("--socket", required=True)
+    p.set_defaults(fn=lambda a: cmd_configure(a, 2))
+    p = sub.add_parser("load-map")
+    p.add_argument("--socket", required=True)
+    p.add_argument("--filename", required=True)
+    p.set_defaults(fn=lambda a: cmd_configure(a, 4))
+    p = sub.add_parser("save-map")
+    p.add_argument("--socket", required=True)
+    p.add_argument("--filename", required=True)
+    p.set_defaults(fn=lambda a: cmd_configure(a, 8))
+
+    p = sub.add_parser("info", help="inspect a saved map")
+    p.add_argument("--map", required=True)
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

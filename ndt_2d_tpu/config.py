@@ -16,9 +16,20 @@ import math
 def _num_steps(size: float, res: float) -> int:
     """Number of iterations of ``for (v = -size; v < size; v += res)``.
 
-    Matches the reference C++ loop trip count (scan_matcher_ndt.cpp:103,117,119).
+    Matches the reference C++ loop trip count EXACTLY, including accumulated
+    floating-point error (scan_matcher_ndt.cpp:103,117,119): e.g. the default
+    linear search -0.05..0.05 @ 0.005 runs 21 iterations (the 20th
+    accumulated value is 0.049999999999999996 < 0.05), so a default match
+    evaluates 80 x 21 x 21 = 35 280 candidates.
     """
-    return int(math.floor(2.0 * size / res - 1e-9)) + 1
+    v = -float(size)
+    n = 0
+    while v < size:
+        n += 1
+        v += res
+        if n > 10_000_000:  # guard against res <= 0 misconfiguration
+            raise ValueError(f"degenerate search lattice: size={size} res={res}")
+    return n
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,161 @@
+"""ctypes bindings for the native C++ runtime components.
+
+Builds native/libndt2d_native.so on demand (g++ is in the image; pybind11 is
+not, so the boundary is a plain C ABI + numpy pointers).  Provides:
+
+* ``match_baseline``  — the single-core C++ matcher used as the benchmark
+  baseline (bench.py reports TPU speedup against it),
+* ``save_graph`` / ``load_graph`` — the fast binary map codec (the rosbag2
+  replacement for large maps; npz remains the portable default).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libndt2d_native.so")
+_SOURCES = ["baseline_matcher.cpp", "graph_codec.cpp"]
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library if missing; returns the .so path."""
+    srcs = [os.path.join(_NATIVE_DIR, s) for s in _SOURCES]
+    if not force and os.path.exists(_SO_PATH):
+        newest_src = max(os.path.getmtime(s) for s in srcs)
+        if os.path.getmtime(_SO_PATH) >= newest_src:
+            return _SO_PATH
+    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO_PATH] + srcs
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO_PATH
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build())
+        lib.ndt2d_match_baseline.restype = ctypes.c_double
+        lib.ndt2d_save_graph.restype = ctypes.c_int
+        lib.ndt2d_graph_header.restype = ctypes.c_int
+        lib.ndt2d_load_graph.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def match_baseline(window_poses, window_points, window_mask, scan_points,
+                   scan_mask, n_scan_points, pose, range_max, config
+                   ) -> Tuple[float, np.ndarray, int]:
+    """Run the C++ baseline matcher once.
+
+    Returns (score, correction [3], candidates_evaluated).
+    """
+    lib = _load()
+    wp = np.ascontiguousarray(window_poses, np.float32)
+    wpts = np.ascontiguousarray(window_points, np.float32)
+    wm = np.ascontiguousarray(window_mask, np.uint8)
+    sp = np.ascontiguousarray(scan_points, np.float32)
+    sm = np.ascontiguousarray(scan_mask, np.uint8)
+    ps = np.ascontiguousarray(pose, np.float32)
+    corr = np.zeros(3, np.float32)
+    cands = ctypes.c_longlong(0)
+    s, p = wpts.shape[0], wpts.shape[1]
+    score = lib.ndt2d_match_baseline(
+        _ptr(wp, ctypes.c_float), _ptr(wpts, ctypes.c_float),
+        _ptr(wm, ctypes.c_uint8), ctypes.c_int(s), ctypes.c_int(p),
+        _ptr(sp, ctypes.c_float), _ptr(sm, ctypes.c_uint8),
+        ctypes.c_int(int(n_scan_points)), _ptr(ps, ctypes.c_float),
+        ctypes.c_double(range_max), ctypes.c_double(config.ndt_resolution),
+        ctypes.c_double(config.search_angular_resolution),
+        ctypes.c_double(config.search_angular_size),
+        ctypes.c_double(config.search_linear_resolution),
+        ctypes.c_double(config.search_linear_size),
+        ctypes.c_int(config.laser_max_beams),
+        _ptr(corr, ctypes.c_float), ctypes.byref(cands))
+    return float(score), corr, int(cands.value)
+
+
+def save_graph(graph, path: str) -> None:
+    lib = _load()
+    poses = np.ascontiguousarray(graph.poses, np.float64)
+    points = np.ascontiguousarray(graph.points, np.float32)
+    mask = np.ascontiguousarray(graph.point_mask, np.uint8)
+    begin = np.ascontiguousarray(graph.constraint_begin, np.int32)
+    end = np.ascontiguousarray(graph.constraint_end, np.int32)
+    tr = np.ascontiguousarray(graph.constraint_transform, np.float64)
+    info = np.ascontiguousarray(graph.constraint_information, np.float64)
+    sw = np.ascontiguousarray(graph.constraint_switchable, np.uint8)
+    rc = lib.ndt2d_save_graph(
+        path.encode(), ctypes.c_int(graph.num_scans),
+        ctypes.c_int(graph.max_points), _ptr(poses, ctypes.c_double),
+        _ptr(points, ctypes.c_float), _ptr(mask, ctypes.c_uint8),
+        ctypes.c_int(graph.num_constraints), _ptr(begin, ctypes.c_int32),
+        _ptr(end, ctypes.c_int32), _ptr(tr, ctypes.c_double),
+        _ptr(info, ctypes.c_double), _ptr(sw, ctypes.c_uint8))
+    if rc != 0:
+        raise IOError(f"native save_graph failed: rc={rc}")
+
+
+def load_graph(path: str, max_points_per_scan: int, use_barycenter=True):
+    from ndt_2d_tpu.graph.pose_graph import Graph
+    lib = _load()
+    ns = ctypes.c_int(0)
+    mp = ctypes.c_int(0)
+    nc = ctypes.c_int(0)
+    rc = lib.ndt2d_graph_header(path.encode(), ctypes.byref(ns),
+                                ctypes.byref(mp), ctypes.byref(nc))
+    if rc != 0:
+        raise IOError(f"native graph header read failed: rc={rc}")
+    s, p, c = ns.value, mp.value, nc.value
+    poses = np.zeros((s, 3), np.float64)
+    points = np.zeros((s, p, 2), np.float32)
+    mask = np.zeros((s, p), np.uint8)
+    begin = np.zeros(c, np.int32)
+    end = np.zeros(c, np.int32)
+    tr = np.zeros((c, 3), np.float64)
+    info = np.zeros((c, 3, 3), np.float64)
+    sw = np.zeros(c, np.uint8)
+    rc = lib.ndt2d_load_graph(
+        path.encode(), _ptr(poses, ctypes.c_double),
+        _ptr(points, ctypes.c_float), _ptr(mask, ctypes.c_uint8),
+        _ptr(begin, ctypes.c_int32), _ptr(end, ctypes.c_int32),
+        _ptr(tr, ctypes.c_double), _ptr(info, ctypes.c_double),
+        _ptr(sw, ctypes.c_uint8))
+    if rc != 0:
+        raise IOError(f"native load_graph failed: rc={rc}")
+
+    graph = Graph(max_points_per_scan, use_barycenter)
+    mask = mask.astype(bool)
+    q = min(p, max_points_per_scan)
+    for i in range(s):
+        pp = np.zeros((max_points_per_scan, 2), np.float32)
+        mm = np.zeros(max_points_per_scan, bool)
+        pp[:q] = points[i, :q]
+        mm[:q] = mask[i, :q]
+        graph.add_scan(poses[i], pp, mm)
+    for j in range(c):
+        graph.add_constraint(int(begin[j]), int(end[j]), tr[j], info[j],
+                             bool(sw[j]))
+    return graph

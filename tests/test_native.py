@@ -1,0 +1,76 @@
+"""Native C++ runtime components: baseline matcher + binary graph codec."""
+
+import numpy as np
+import pytest
+
+from ndt_2d_tpu.config import ScanMatcherConfig
+from ndt_2d_tpu.io import native
+from ndt_2d_tpu.matching import registry
+from ndt_2d_tpu.utils import sim
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+MCFG = ScanMatcherConfig(grid_cells_x=128, grid_cells_y=128)
+
+
+class TestBaselineMatcher:
+    def test_agrees_with_tpu_matcher(self):
+        world = sim.make_box_world(10.0, 8.0)
+        poses = np.asarray([[4.8, 3.9, 0.0], [5.0, 4.0, 0.05],
+                            [5.2, 4.1, -0.05]], np.float32)
+        pts, msk = [], []
+        for p in poses:
+            msg = sim.scan_at_pose(world, p, n_beams=360, range_max=15.0)
+            a, b = sim.project_scan(msg, 512)
+            pts.append(a)
+            msk.append(b)
+        window_points = np.stack(pts)
+        window_mask = np.stack(msk)
+
+        msg = sim.scan_at_pose(world, np.asarray([5.0, 4.0, 0.0]),
+                               n_beams=360, range_max=15.0)
+        qpts, qmask = sim.project_scan(msg, 512)
+        n = int(qmask.sum())
+        pose = np.asarray([5.02, 3.98, 0.01], np.float32)
+
+        score, corr, cands = native.match_baseline(
+            poses, window_points, window_mask, qpts, qmask, n, pose, 15.0,
+            MCFG)
+        assert cands == MCFG.num_candidates
+
+        m = registry.create("ndt", MCFG, 15.0)
+        m.add_scans(poses, window_points, window_mask)
+        res = m.match_scan(qpts, qmask, n, pose)
+        # Cross-implementation agreement (float64 C++ vs float32 TPU).
+        assert score == pytest.approx(float(res.score), abs=2e-3)
+        np.testing.assert_allclose(corr, np.asarray(res.correction),
+                                   atol=1e-6)
+
+
+class TestGraphCodec:
+    def test_roundtrip(self, tmp_path):
+        from ndt_2d_tpu.graph.pose_graph import Graph
+        g = Graph(max_points_per_scan=32)
+        rng = np.random.default_rng(0)
+        for i in range(5):
+            pts = rng.normal(0, 1, (32, 2)).astype(np.float32)
+            mask = np.arange(32) < 20 + i
+            g.add_scan(rng.normal(0, 1, 3), pts, mask)
+        for j in range(3):
+            g.add_constraint(j, j + 1, rng.normal(0, 1, 3),
+                             np.eye(3) * (j + 1), switchable=(j == 2))
+        path = str(tmp_path / "map.ndt2")
+        native.save_graph(g, path)
+        g2 = native.load_graph(path, 32)
+        assert g2.num_scans == 5
+        assert g2.num_constraints == 3
+        np.testing.assert_allclose(g2.poses, g.poses)
+        np.testing.assert_allclose(g2.points, g.points)
+        np.testing.assert_array_equal(g2.point_mask, g.point_mask)
+        np.testing.assert_allclose(g2.constraint_transform,
+                                   g.constraint_transform)
+        np.testing.assert_allclose(g2.constraint_information,
+                                   g.constraint_information)
+        np.testing.assert_array_equal(g2.constraint_switchable,
+                                      g.constraint_switchable)
