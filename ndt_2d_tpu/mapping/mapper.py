@@ -33,6 +33,7 @@ from ndt_2d_tpu.graph import pose_graph, solver
 from ndt_2d_tpu.filter.particle_filter import ParticleFilter
 from ndt_2d_tpu.mapping import laser, occupancy
 from ndt_2d_tpu.matching import registry
+from ndt_2d_tpu.utils.profiling import SessionStats
 from ndt_2d_tpu.utils.sim import LaserScanMsg
 
 logger = logging.getLogger("ndt_2d_tpu.mapper")
@@ -97,6 +98,7 @@ class Mapper:
             self.filter = ParticleFilter(config.particle_filter, seed=seed)
 
         self._scans_since_loop_closure = 0
+        self.stats = SessionStats()
 
     # ------------------------------------------------------------------
     def _ensure_matchers(self, msg_range_max: float) -> None:
@@ -167,6 +169,7 @@ class Mapper:
 
         if not self.prev_odom_pose_is_initialized:
             logger.warning("Can not handle scan, not localized within map")
+            self.stats.record_scan(False)
             return ScanResult(accepted=False)
 
         odom_pose = np.asarray(odom_pose, np.float64)
@@ -181,6 +184,7 @@ class Mapper:
             cfg = self.config
             if (dist < cfg.minimum_travel_distance ** 2
                     and abs(dth) < cfg.minimum_travel_rotation):
+                self.stats.record_scan(False)
                 return ScanResult(accepted=False)
             # Dead-reckon the map-frame pose from the odometry delta,
             # corrected by the odom->map heading offset (ndt_mapper.cpp:357-364).
@@ -233,10 +237,11 @@ class Mapper:
             self.local_matcher.add_scans(
                 g.poses[start:].astype(np.float32), g.points[start:],
                 g.point_mask[start:])
-            uncorrected = float(self.local_matcher.score_points(
-                points, mask, num_points, pose.astype(np.float32)))
-            res = self.local_matcher.match_scan(
-                points, mask, num_points, pose.astype(np.float32))
+            with self.stats.timer.section("local_match"):
+                uncorrected = float(self.local_matcher.score_points(
+                    points, mask, num_points, pose.astype(np.float32)))
+                res = self.local_matcher.match_scan(
+                    points, mask, num_points, pose.astype(np.float32))
             matched = float(res.score)
             correction = np.asarray(res.correction, np.float64)
             covariance = np.asarray(res.covariance, np.float64)
@@ -254,6 +259,7 @@ class Mapper:
         self.prev_odom_pose = odom_pose.copy()
         self.prev_robot_pose = pose.copy()
         self.map_update_available = True
+        self.stats.record_scan(True, matched if g.num_scans > 1 else None)
 
         self._scans_since_loop_closure += 1
         if self._scans_since_loop_closure >= self.config.loop_closure_every:
@@ -309,6 +315,7 @@ class Mapper:
         """One pass of the loop-closure search (loopClosureThread body,
         ndt_mapper.cpp:569-685).  Returns the number of closures added."""
         self._scans_since_loop_closure = 0
+        self.stats = SessionStats()
         if not self.enable_mapping:
             return 0
         g = self.graph
@@ -351,6 +358,7 @@ class Mapper:
                 if np.isfinite(score) and score < self.typical_matcher_response:
                     new_matches = True
                     added += 1
+                    self.stats.loop_closures_accepted += 1
                     logger.info("***Adding loop closure from %d to %d (score %f)",
                                 i, idx, score)
                     new_pose = g.poses[idx] + np.asarray(res.correction,
@@ -363,6 +371,7 @@ class Mapper:
                         switchable=True)
                     self.map_update_available = True
                 else:
+                    self.stats.loop_closures_rejected += 1
                     logger.info("***Rejecting loop closure from %d to %d (score %f)",
                                 i, idx, score)
                 checks_left -= 1
@@ -374,7 +383,9 @@ class Mapper:
         if new_matches and (num_scans - self.optimization_last
                             > self.config.optimization_node_limit):
             logger.info("Optimizing pose graph")
-            solver.solve_graph(g, self.config.solver)
+            with self.stats.timer.section("optimize"):
+                solver.solve_graph(g, self.config.solver)
+            self.stats.optimizations += 1
             self.optimization_last = g.num_scans
             self.map_update_available = True
         return added

@@ -116,6 +116,7 @@ def run_bag(mapper: Mapper, bag: ScanBag,
         "graph_scans": mapper.graph.num_scans,
         "graph_constraints": mapper.graph.num_constraints,
         "loop_closures": int(mapper.graph.constraint_switchable.sum()),
+        "session": mapper.stats.summary(),
     }
     if bag.truth is not None and len(est) > 1:
         stats["ate_rmse_m"] = metrics.ate_rmse(

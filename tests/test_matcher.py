@@ -135,3 +135,51 @@ class TestWindowCapacity:
         msk = np.ones((2, 8), bool)
         with pytest.raises(ValueError):
             m.add_scans(poses, pts, msk)
+
+
+class TestFastPathEquivalence:
+    """The 2x2-locality fast path must match the general gather path."""
+
+    def test_paths_agree(self):
+        import jax.numpy as jnp
+        import dataclasses as dc
+        world = sim.make_box_world(10.0, 8.0)
+        m = registry.create("ndt", CFG, range_max=15.0)
+        poses = np.asarray([[5.0, 4.0, 0.0]], np.float32)
+        pts, mask, n = make_scan(poses[0], world)
+        m.add_scans(poses, pts[None], mask[None])
+        qpts, qmask, qn = make_scan([5.1, 4.05, 0.02], world)
+        pose = jnp.asarray([5.08, 4.0, 0.01], jnp.float32)
+
+        spts, smask, used = matcher.subsample(
+            jnp.asarray(qpts), jnp.asarray(qmask), jnp.int32(qn),
+            CFG.laser_max_beams)
+        dths, dls = matcher._search_offsets(CFG)
+        assert 2 * CFG.search_linear_size <= CFG.ndt_resolution
+        fast = matcher._candidate_scores_local(CFG, m.grid, spts, smask,
+                                               pose, dths, dls)
+        slow = matcher._candidate_scores_gather(CFG, m.grid, spts, smask,
+                                                pose, dths, dls)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_wide_window_uses_gather_path(self):
+        import dataclasses as dc
+        wide = dc.replace(CFG, search_linear_size=0.2,
+                          search_linear_resolution=0.02)
+        world = sim.make_box_world(10.0, 8.0)
+        m = registry.create("ndt", wide, range_max=15.0)
+        poses = np.asarray([[4.8, 3.9, 0.0], [5.0, 4.0, 0.05],
+                            [5.2, 4.1, -0.05]], np.float32)
+        pts, msk = [], []
+        for p in poses:
+            a, b, _ = make_scan(p, world)
+            pts.append(a)
+            msk.append(b)
+        m.add_scans(poses, np.stack(pts), np.stack(msk))
+        qpts, qmask, qn = make_scan([5.0, 4.0, 0.0], world)
+        res = m.match_scan(qpts, qmask, qn, np.asarray([5.1, 4.05, 0.0],
+                                                       np.float32))
+        assert float(res.score) < -0.2  # recovers through the wide window
+        np.testing.assert_allclose(np.asarray(res.correction)[:2],
+                                   [-0.1, -0.05], atol=0.045)
