@@ -55,6 +55,10 @@ class ScanMatcherConfig:
     # of the scan window poses +- range_max at ndt_resolution.
     grid_cells_x: int = 192
     grid_cells_y: int = 192
+    # Use the hand-written Pallas kernel for candidate scoring (requires the
+    # locality condition 2*search_linear_size <= ndt_resolution; falls back
+    # to the XLA fast path otherwise).
+    use_pallas: bool = False
 
     @property
     def num_angles(self) -> int:

@@ -109,6 +109,10 @@ def candidate_scores(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     """
     span = 2.0 * config.search_linear_size
     if span <= config.ndt_resolution:
+        if config.use_pallas:
+            from ndt_2d_tpu.matching import pallas_kernels
+            return pallas_kernels.candidate_scores_pallas(
+                config, grid, spts, smask, pose, dths, dls)
         return _candidate_scores_local(config, grid, spts, smask, pose,
                                        dths, dls)
     return _candidate_scores_gather(config, grid, spts, smask, pose,

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel for the candidate-scoring hot loop.
+
+The locality fast path (matching/matcher.py::_candidate_scores_local) reduces
+the search to dense per-(angle, beam, candidate) VPU math over a tiny
+precomputed 2x2 cell neighborhood.  This module implements that inner loop as
+a hand-written Pallas kernel: one grid program per angle block, all operands
+resident in VMEM, [beams x candidates] vector tiles on the VPU, with the
+beam reduction accumulated in-register.
+
+The kernel consumes the *same* precomputed neighborhood tensors as the XLA
+fast path, so the two paths are interchangeable and cross-checked in
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ndt_2d_tpu.config import ScanMatcherConfig
+from ndt_2d_tpu.ndt import grid as ndt_grid
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                         spts, smask, pose, dths, dls):
+    """Precompute per-(angle, beam) scoring operands (tiny gathers).
+
+    Returns (bx, by, cross_x, cross_y  [A, B]; pack [A, B, 24]) where pack
+    holds the 2x2 neighborhood records (mean_x, mean_y, i00, i01, i11, ok)
+    in y-major order.
+    """
+    W, H = config.grid_cells_x, config.grid_cells_y
+    th = pose[2] + dths
+    c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]
+    px, py = spts[:, 0][None, :], spts[:, 1][None, :]
+    bx = c * px - s * py + pose[0]
+    by = s * px + c * py + pose[1]
+
+    cell = grid.cell_size
+    ix0 = jnp.floor((bx + dls[0] - grid.origin[0]) / cell).astype(jnp.int32)
+    iy0 = jnp.floor((by + dls[0] - grid.origin[1]) / cell).astype(jnp.int32)
+    cross_x = grid.origin[0] + (ix0.astype(bx.dtype) + 1.0) * cell
+    cross_y = grid.origin[1] + (iy0.astype(by.dtype) + 1.0) * cell
+
+    oxi = jnp.arange(2, dtype=jnp.int32)
+    ix = ix0[..., None] + oxi
+    iy = iy0[..., None] + oxi
+    in_x = (ix >= 0) & (ix < W)
+    in_y = (iy >= 0) & (iy < H)
+    flat = (jnp.clip(iy, 0, H - 1)[..., :, None] * W
+            + jnp.clip(ix, 0, W - 1)[..., None, :])        # [A, B, 2, 2]
+    mean = grid.mean[flat]
+    info = grid.information[flat]
+    ok = ((grid.count[flat] >= 5)
+          & in_y[..., :, None] & in_x[..., None, :]
+          & smask[None, :, None, None])
+    pack = jnp.concatenate([mean, info, ok[..., None].astype(mean.dtype)],
+                           axis=-1)                        # [A, B, 2, 2, 6]
+    a, b = pack.shape[0], pack.shape[1]
+    return bx, by, cross_x, cross_y, pack.reshape(a, b, 24)
+
+
+def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
+                  out_ref):
+    """One angle per program: score [B_pad] beams x [T_pad] candidates."""
+    bx = bx_ref[0, :]                                      # [B]
+    by = by_ref[0, :]
+    cx = cx_ref[0, :]
+    cy = cy_ref[0, :]
+    pack = pack_ref[0]                                     # [B, 24]
+    dx = dx_ref[0, :]                                      # [T]
+    dy = dy_ref[0, :]
+
+    # Candidate world positions [B, T].
+    wx = bx[:, None] + dx[None, :]
+    wy = by[:, None] + dy[None, :]
+    jx = wx >= cx[:, None]
+    jy = wy >= cy[:, None]
+
+    def sel(k):
+        """Select field k of the 2x2 records per candidate: [B, T]."""
+        v00 = pack[:, 0 + k][:, None]     # (jy=0, jx=0)
+        v01 = pack[:, 6 + k][:, None]     # (jy=0, jx=1)
+        v10 = pack[:, 12 + k][:, None]    # (jy=1, jx=0)
+        v11 = pack[:, 18 + k][:, None]    # (jy=1, jx=1)
+        lo = jnp.where(jx, v01, v00)
+        hi = jnp.where(jx, v11, v10)
+        return jnp.where(jy, hi, lo)
+
+    qx = wx - sel(0)
+    qy = wy - sel(1)
+    i00, i01, i11 = sel(2), sel(3), sel(4)
+    ok = sel(5) > 0.5
+    e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
+    score = jnp.where(ok, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
+    out_ref[0, :] = -jnp.sum(score, axis=0)
+
+
+def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                            spts, smask, pose, dths, dls,
+                            interpret: bool = False):
+    """Pallas implementation of the locality fast path.
+
+    Returns [A, L, L] candidate scores, identical (up to fp reassociation)
+    to matcher._candidate_scores_local.  Requires
+    2*search_linear_size <= ndt_resolution.
+    """
+    L = config.num_linear
+    A = dths.shape[0]
+    B = spts.shape[0]
+    dtype = spts.dtype
+
+    bx, by, cx, cy, pack = prepare_neighborhood(
+        config, grid, spts, smask, pose, dths, dls)
+
+    B_pad = _round_up(B, 8)
+    T = L * L
+    T_pad = _round_up(T, 128)
+
+    def pad_ab(x):
+        return jnp.pad(x, ((0, 0), (0, B_pad - B)))
+
+    bx, by, cx, cy = map(pad_ab, (bx, by, cx, cy))
+    pack = jnp.pad(pack, ((0, 0), (0, B_pad - B), (0, 0)))
+    # Padded beams: ok flag already 0 via smask; ensure by zeroing pads.
+    # (jnp.pad zero-fills, so the ok field of padded rows is 0 already.)
+
+    # Candidate offset vectors [T_pad]: dx varies slowest (row-major (x, y)),
+    # matching cand.reshape(A, L, L) order.
+    dxv = jnp.repeat(dls, L)
+    dyv = jnp.tile(dls, L)
+    dxv = jnp.pad(dxv, (0, T_pad - T))[None, :]
+    dyv = jnp.pad(dyv, (0, T_pad - T))[None, :]
+
+    out = pl.pallas_call(
+        _score_kernel,
+        grid=(A,),
+        in_specs=[
+            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_pad, 24), lambda a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_pad), lambda a: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_pad), lambda a: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T_pad), lambda a: (a, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, T_pad), dtype),
+        interpret=interpret,
+    )(bx, by, cx, cy, pack, dxv, dyv)
+
+    return out[:, :T].reshape(A, L, L)

@@ -185,3 +185,50 @@ class TestSolver:
         ok = solver.solve_graph(g, SolverConfig())
         assert ok is False
         np.testing.assert_array_equal(g.poses, before)
+
+
+class TestLargeGraphPCG:
+    """Scale shape of BASELINE config 5 (district map): a large pose graph
+    solved with the matrix-free PCG path (CI-sized; the real thing shards
+    constraints across hosts, tests/test_sharding.py)."""
+
+    def test_2k_node_loop_grid(self):
+        rng = np.random.default_rng(0)
+        # A 2D lattice of poses with odometry chain + lattice cross-bracing:
+        # ~2k nodes, ~4k constraints.
+        side = 45
+        n = side * side
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+        truth = np.stack([xs.ravel().astype(float),
+                          ys.ravel().astype(float),
+                          np.zeros(n)], axis=-1)
+        init = truth + rng.normal(0, 0.08, truth.shape)
+        init[0] = truth[0]
+
+        begin, end = [], []
+        for i in range(side):
+            for j in range(side):
+                k = i * side + j
+                if j + 1 < side:
+                    begin.append(k)
+                    end.append(k + 1)
+                if i + 1 < side:
+                    begin.append(k)
+                    end.append(k + side)
+        begin = np.asarray(begin, np.int32)
+        end = np.asarray(end, np.int32)
+        c = len(begin)
+        # exact relative constraints (theta = 0 everywhere)
+        t = truth[end, :2] - truth[begin, :2]
+        transform = np.concatenate([t, np.zeros((c, 1))], axis=-1)
+        info = np.tile(np.eye(3, dtype=np.float32)[None] * 100.0, (c, 1, 1))
+
+        cfg = SolverConfig(max_iterations=30)
+        res = solver.solve(
+            cfg, jnp.asarray(init, jnp.float32), jnp.asarray(begin),
+            jnp.asarray(end), jnp.asarray(transform, jnp.float32),
+            jnp.asarray(info), jnp.ones(c, bool), jnp.ones(n, bool),
+            use_dense=False)
+        assert bool(res.success)
+        err = np.abs(np.asarray(res.poses)[:, :2] - truth[:, :2]).max()
+        assert err < 0.02, f"max node error {err}"

@@ -186,3 +186,47 @@ class TestLoopClosure:
         ate = metrics.ate_rmse(mapper.graph.poses[:len(used_truth)],
                                used_truth)
         assert ate < 0.25
+
+
+class TestParticleFilterLocalization:
+    """AMCL-parity localization (BASELINE config 4, miniature)."""
+
+    def test_particle_filter_tracks(self, tmp_path):
+        world = sim.make_box_world(10.0, 8.0)
+        truth = np.stack([np.linspace(3.0, 7.0, 14),
+                          np.full(14, 4.0), np.zeros(14)], axis=-1)
+        mapper, est, used = run_mapping(world, truth, truth.copy(),
+                                        range_max=14.0)
+        path = str(tmp_path / "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+
+        pf_cfg = dataclasses.replace(
+            CFG, use_particle_filter=True,
+            particle_filter=dataclasses.replace(
+                MapperConfig().particle_filter,
+                min_particles=80, max_particles=300,
+                odom_alpha1=0.05, odom_alpha2=0.05,
+                odom_alpha3=0.05, odom_alpha4=0.05))
+        loc = Mapper(pf_cfg, seed=3)
+        loc.configure(LOAD_FROM_FILE, path)
+        # re-create the particle filter config binding after configure
+        rel_truth = metrics.relative_to_first(truth)
+        loc.set_initial_pose(rel_truth[0], np.diag([0.04, 0.04, 0.01]),
+                             truth[0])
+        odom = sim.drift_odometry(truth, 0.01, 0.003, seed=21)
+        errs = []
+        for t in range(1, len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=14.0, noise=0.01,
+                                   rng=np.random.default_rng(300 + t))
+            res = loc.process_scan(msg, odom[t])
+            if res.accepted:
+                errs.append(np.hypot(*(res.pose[:2] - rel_truth[t][:2])))
+                assert loc.graph.num_scans == 14  # PF never adds scans
+        assert len(errs) > 5
+        # The filter tracks: mean position error bounded, and the last
+        # half is no worse than the first (no divergence).
+        assert np.mean(errs) < 0.35
+        half = len(errs) // 2
+        assert np.mean(errs[half:]) < np.mean(errs[:half]) + 0.15
+
