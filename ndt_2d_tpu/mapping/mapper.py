@@ -231,17 +231,41 @@ class Mapper:
 
         if g.num_scans:
             # Rolling window of the last rolling_depth scans
-            # (ndt_mapper.cpp:504-509).
-            start = max(0, g.num_scans - self.config.rolling_depth)
-            self.local_matcher.reset()
-            self.local_matcher.add_scans(
-                g.poses[start:].astype(np.float32), g.points[start:],
-                g.point_mask[start:])
+            # (ndt_mapper.cpp:504-509), fused with scoring + matching into a
+            # single device dispatch (matcher.match_scan_windowed).
+            from ndt_2d_tpu.matching import matcher as matcher_mod
+            depth = self.config.rolling_depth
+            start = max(0, g.num_scans - depth)
+            n_window = g.num_scans - start
+            # Fixed-size window buffers (masked) so the fused step compiles
+            # exactly once for the whole session.
+            mcfg = self.config.local_scan_matcher
+            window_poses = np.zeros((depth, 3), np.float32)
+            window_points = np.zeros((depth,) + g.points.shape[1:],
+                                     np.float32)
+            window_pmask = np.zeros((depth,) + g.point_mask.shape[1:], bool)
+            window_mask = np.zeros(depth, bool)
+            window_poses[:n_window] = g.poses[start:].astype(np.float32)
+            window_points[:n_window] = g.points[start:]
+            window_pmask[:n_window] = g.point_mask[start:]
+            window_mask[:n_window] = True
+            # Static-grid capacity check (the reference sizes dynamically,
+            # scan_matcher_ndt.cpp:66; our extent is static).
+            span = (window_poses[:n_window, :2].max(0)
+                    - window_poses[:n_window, :2].min(0)
+                    + 2 * self.range_max)
+            need = np.ceil(span / mcfg.ndt_resolution) + 1
+            if need[0] > mcfg.grid_cells_x or need[1] > mcfg.grid_cells_y:
+                raise ValueError(
+                    f"scan window needs {need} cells > static grid "
+                    f"({mcfg.grid_cells_x}, {mcfg.grid_cells_y}); increase "
+                    "local_scan_matcher.grid_cells_*")
             with self.stats.timer.section("local_match"):
-                uncorrected = float(self.local_matcher.score_points(
-                    points, mask, num_points, pose.astype(np.float32)))
-                res = self.local_matcher.match_scan(
+                unc, res = matcher_mod.match_scan_windowed(
+                    mcfg, window_poses, window_points, window_pmask,
+                    window_mask, np.float32(self.range_max),
                     points, mask, num_points, pose.astype(np.float32))
+                uncorrected = float(unc)
             matched = float(res.score)
             correction = np.asarray(res.correction, np.float64)
             covariance = np.asarray(res.covariance, np.float64)

@@ -319,6 +319,28 @@ def score_points_batch(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     return fn(poses)
 
 
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def match_scan_windowed(config: ScanMatcherConfig, poses, points, point_mask,
+                        window_mask, range_max, scan_points, scan_mask,
+                        num_points, pose):
+    """Fused per-scan device step: window-NDT build + uncorrected score +
+    exhaustive match in ONE dispatch.
+
+    The mapper's hot path (ndt_mapper.cpp:504-515 does addScans + scoreScan +
+    matchScan back-to-back every accepted scan); fusing them keeps the whole
+    thing on-device with a single host round-trip.
+    Returns (uncorrected_score, MatchResult).
+    """
+    grid = build_window_ndt(config, poses, points, point_mask, window_mask,
+                            range_max)
+    uncorrected = score_points_at_pose(config, grid, scan_points, scan_mask,
+                                       num_points, pose)
+    res = match_scan(config, grid, scan_points, scan_mask, num_points, pose,
+                     range_max)
+    return uncorrected, res
+
 class NDTScanMatcher:
     """Host-side stateful wrapper mirroring the ScanMatcher plugin interface.
 
