@@ -71,38 +71,44 @@ def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
 
 def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
                   out_ref):
-    """One angle per program: score [B_pad] beams x [T_pad] candidates."""
-    bx = bx_ref[0, :]                                      # [B]
-    by = by_ref[0, :]
-    cx = cx_ref[0, :]
-    cy = cy_ref[0, :]
-    pack = pack_ref[0]                                     # [B, 24]
+    """8 angles per program: score [B_pad] beams x [T_pad] candidates each.
+
+    The angle loop is a static 8-way unroll (TPU blocks need a sublane dim
+    of at least 8); each iteration is a [B, T] vector computation.
+    """
     dx = dx_ref[0, :]                                      # [T]
     dy = dy_ref[0, :]
 
-    # Candidate world positions [B, T].
-    wx = bx[:, None] + dx[None, :]
-    wy = by[:, None] + dy[None, :]
-    jx = wx >= cx[:, None]
-    jy = wy >= cy[:, None]
+    for a in range(bx_ref.shape[0]):
+        bx = bx_ref[a, :]                                  # [B]
+        by = by_ref[a, :]
+        cx = cx_ref[a, :]
+        cy = cy_ref[a, :]
+        pack = pack_ref[a]                                 # [B, 24]
 
-    def sel(k):
-        """Select field k of the 2x2 records per candidate: [B, T]."""
-        v00 = pack[:, 0 + k][:, None]     # (jy=0, jx=0)
-        v01 = pack[:, 6 + k][:, None]     # (jy=0, jx=1)
-        v10 = pack[:, 12 + k][:, None]    # (jy=1, jx=0)
-        v11 = pack[:, 18 + k][:, None]    # (jy=1, jx=1)
-        lo = jnp.where(jx, v01, v00)
-        hi = jnp.where(jx, v11, v10)
-        return jnp.where(jy, hi, lo)
+        # Candidate world positions [B, T].
+        wx = bx[:, None] + dx[None, :]
+        wy = by[:, None] + dy[None, :]
+        jx = wx >= cx[:, None]
+        jy = wy >= cy[:, None]
 
-    qx = wx - sel(0)
-    qy = wy - sel(1)
-    i00, i01, i11 = sel(2), sel(3), sel(4)
-    ok = sel(5) > 0.5
-    e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
-    score = jnp.where(ok, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
-    out_ref[0, :] = -jnp.sum(score, axis=0)
+        def sel(k):
+            """Select field k of the 2x2 records per candidate: [B, T]."""
+            v00 = pack[:, 0 + k][:, None]     # (jy=0, jx=0)
+            v01 = pack[:, 6 + k][:, None]     # (jy=0, jx=1)
+            v10 = pack[:, 12 + k][:, None]    # (jy=1, jx=0)
+            v11 = pack[:, 18 + k][:, None]    # (jy=1, jx=1)
+            lo = jnp.where(jx, v01, v00)
+            hi = jnp.where(jx, v11, v10)
+            return jnp.where(jy, hi, lo)
+
+        qx = wx - sel(0)
+        qy = wy - sel(1)
+        i00, i01, i11 = sel(2), sel(3), sel(4)
+        ok = sel(5) > 0.5
+        e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
+        score = jnp.where(ok, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
+        out_ref[a, :] = -jnp.sum(score, axis=0)
 
 
 def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
@@ -122,17 +128,18 @@ def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     bx, by, cx, cy, pack = prepare_neighborhood(
         config, grid, spts, smask, pose, dths, dls)
 
-    B_pad = _round_up(B, 8)
+    B_pad = _round_up(B, 128)  # lane-dim divisibility for [., B_pad] blocks
+    A_BLK = 8                  # sublane-dim minimum per block
+    A_pad = _round_up(A, A_BLK)
     T = L * L
     T_pad = _round_up(T, 128)
 
     def pad_ab(x):
-        return jnp.pad(x, ((0, 0), (0, B_pad - B)))
+        return jnp.pad(x, ((0, A_pad - A), (0, B_pad - B)))
 
     bx, by, cx, cy = map(pad_ab, (bx, by, cx, cy))
-    pack = jnp.pad(pack, ((0, 0), (0, B_pad - B), (0, 0)))
-    # Padded beams: ok flag already 0 via smask; ensure by zeroing pads.
-    # (jnp.pad zero-fills, so the ok field of padded rows is 0 already.)
+    pack = jnp.pad(pack, ((0, A_pad - A), (0, B_pad - B), (0, 0)))
+    # jnp.pad zero-fills, so padded rows' ok field is 0 => they score 0.
 
     # Candidate offset vectors [T_pad]: dx varies slowest (row-major (x, y)),
     # matching cand.reshape(A, L, L) order.
@@ -143,27 +150,27 @@ def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
 
     out = pl.pallas_call(
         _score_kernel,
-        grid=(A,),
+        grid=(A_pad // A_BLK,),
         in_specs=[
-            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_pad), lambda a: (a, 0),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_pad, 24), lambda a: (a, 0, 0),
+            pl.BlockSpec((A_BLK, B_pad, 24), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_pad), lambda a: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_pad), lambda a: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T_pad), lambda a: (a, 0),
+        out_specs=pl.BlockSpec((A_BLK, T_pad), lambda a: (a, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, T_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((A_pad, T_pad), dtype),
         interpret=interpret,
     )(bx, by, cx, cy, pack, dxv, dyv)
 
-    return out[:, :T].reshape(A, L, L)
+    return out[:A, :T].reshape(A, L, L)
