@@ -29,6 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ndt_2d_tpu.config import ScanMatcherConfig
     from ndt_2d_tpu.matching import matcher
     from ndt_2d_tpu.utils import sim

@@ -251,6 +251,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 

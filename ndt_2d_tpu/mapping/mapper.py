@@ -99,6 +99,15 @@ class Mapper:
 
         self._scans_since_loop_closure = 0
         self.stats = SessionStats()
+        # Device-resident rolling window (matcher.RollingWindow); rebuilt
+        # from the graph whenever poses change outside the append path
+        # (optimization, map load, initial pose).  _window_synced tracks how
+        # many graph scans the window reflects; -1 forces a rebuild.
+        self._window = None
+        self._window_poses_host = None  # host mirror for capacity checks
+        self._window_mask_host = None
+        self._window_synced = -1
+        self._range_max_dev = None
 
     # ------------------------------------------------------------------
     def _ensure_matchers(self, msg_range_max: float) -> None:
@@ -219,9 +228,60 @@ class Mapper:
                                               mask, num_points)
 
     # ------------------------------------------------------------------
+    def _sync_window(self):
+        """(Re)build the device rolling window from the graph tail.
+
+        Runs only when poses changed outside the append path (optimization,
+        map load, initial pose); the steady-state path is window_append.
+        """
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.matching import matcher as matcher_mod
+        g = self.graph
+        depth = self.config.rolling_depth
+        if self._window_synced == g.num_scans and self._window is not None:
+            return self._window
+        start = max(0, g.num_scans - depth)
+        n = g.num_scans - start
+        poses = np.zeros((depth, 3), np.float32)
+        pts = np.zeros((depth, g.max_points, 2), np.float32)
+        pmask = np.zeros((depth, g.max_points), bool)
+        wmask = np.zeros(depth, bool)
+        if n:  # newest scan occupies the LAST slot (window_append order)
+            poses[depth - n:] = g.poses[start:].astype(np.float32)
+            pts[depth - n:] = g.points[start:]
+            pmask[depth - n:] = g.point_mask[start:]
+            wmask[depth - n:] = True
+        self._window = matcher_mod.RollingWindow(
+            jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
+            jnp.asarray(wmask))
+        self._window_poses_host = poses
+        self._window_mask_host = wmask
+        self._window_synced = g.num_scans
+        return self._window
+
+    def _check_window_capacity(self):
+        """Static-grid capacity check (the reference sizes its grid
+        dynamically, scan_matcher_ndt.cpp:66; our extent is static)."""
+        mcfg = self.config.local_scan_matcher
+        wp = self._window_poses_host[self._window_mask_host]
+        if not len(wp):
+            return
+        span = wp[:, :2].max(0) - wp[:, :2].min(0) + 2 * self.range_max
+        need = np.ceil(span / mcfg.ndt_resolution) + 1
+        if need[0] > mcfg.grid_cells_x or need[1] > mcfg.grid_cells_y:
+            raise ValueError(
+                f"scan window needs {need} cells > static grid "
+                f"({mcfg.grid_cells_x}, {mcfg.grid_cells_y}); increase "
+                "local_scan_matcher.grid_cells_*")
+
     def _process_mapping(self, robot_pose, odom_pose, points, mask,
                          num_points) -> ScanResult:
         """Mapping branch (ndt_mapper.cpp:495-546)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.matching import matcher as matcher_mod
         g = self.graph
         uncorrected = 0.0
         matched = 0.0
@@ -229,46 +289,31 @@ class Mapper:
         covariance = None
         pose = robot_pose.copy()
 
+        # One host->device transfer of the new scan, reused by both the
+        # match and the window append.
+        dev_points = jnp.asarray(points, jnp.float32)
+        dev_mask = jnp.asarray(mask)
+
         if g.num_scans:
             # Rolling window of the last rolling_depth scans
-            # (ndt_mapper.cpp:504-509), fused with scoring + matching into a
-            # single device dispatch (matcher.match_scan_windowed).
-            from ndt_2d_tpu.matching import matcher as matcher_mod
-            depth = self.config.rolling_depth
-            start = max(0, g.num_scans - depth)
-            n_window = g.num_scans - start
-            # Fixed-size window buffers (masked) so the fused step compiles
-            # exactly once for the whole session.
-            mcfg = self.config.local_scan_matcher
-            window_poses = np.zeros((depth, 3), np.float32)
-            window_points = np.zeros((depth,) + g.points.shape[1:],
-                                     np.float32)
-            window_pmask = np.zeros((depth,) + g.point_mask.shape[1:], bool)
-            window_mask = np.zeros(depth, bool)
-            window_poses[:n_window] = g.poses[start:].astype(np.float32)
-            window_points[:n_window] = g.points[start:]
-            window_pmask[:n_window] = g.point_mask[start:]
-            window_mask[:n_window] = True
-            # Static-grid capacity check (the reference sizes dynamically,
-            # scan_matcher_ndt.cpp:66; our extent is static).
-            span = (window_poses[:n_window, :2].max(0)
-                    - window_poses[:n_window, :2].min(0)
-                    + 2 * self.range_max)
-            need = np.ceil(span / mcfg.ndt_resolution) + 1
-            if need[0] > mcfg.grid_cells_x or need[1] > mcfg.grid_cells_y:
-                raise ValueError(
-                    f"scan window needs {need} cells > static grid "
-                    f"({mcfg.grid_cells_x}, {mcfg.grid_cells_y}); increase "
-                    "local_scan_matcher.grid_cells_*")
+            # (ndt_mapper.cpp:504-509): window-NDT build + scoring + matching
+            # fused into a single device dispatch over the device-resident
+            # window, fetched with one device_get.
+            window = self._sync_window()
+            self._check_window_capacity()
+            if self._range_max_dev is None:
+                self._range_max_dev = jnp.float32(self.range_max)
             with self.stats.timer.section("local_match"):
-                unc, res = matcher_mod.match_scan_windowed(
-                    mcfg, window_poses, window_points, window_pmask,
-                    window_mask, np.float32(self.range_max),
-                    points, mask, num_points, pose.astype(np.float32))
-                uncorrected = float(unc)
-            matched = float(res.score)
-            correction = np.asarray(res.correction, np.float64)
-            covariance = np.asarray(res.covariance, np.float64)
+                out = matcher_mod.match_scan_rolling(
+                    self.config.local_scan_matcher, window,
+                    self._range_max_dev, dev_points, dev_mask,
+                    jnp.int32(num_points),
+                    jnp.asarray(pose, jnp.float32))
+                unc, score, corr, cov = jax.device_get(out)
+            uncorrected = float(unc)
+            matched = float(score)
+            correction = np.asarray(corr, np.float64)
+            covariance = np.asarray(cov, np.float64)
             # EWMA of match quality -> loop-closure accept threshold
             # (ndt_mapper.cpp:518).
             self.typical_matcher_response = (
@@ -279,6 +324,21 @@ class Mapper:
         if scan_id > 0:
             # Odometry constraint from the previous scan (ndt_mapper.cpp:527-529).
             pose_graph.make_constraint_np(g, scan_id - 1, scan_id, covariance)
+
+        # Append the corrected scan to the device window (steady-state path:
+        # the only per-scan transfer is the new scan itself).
+        if self._window is None or self._window_synced != g.num_scans - 1:
+            self._window_synced = -1
+            self._sync_window()
+        else:
+            self._window = matcher_mod.window_append(
+                self._window, jnp.asarray(pose, jnp.float32), dev_points,
+                dev_mask)
+            self._window_poses_host = np.concatenate(
+                [self._window_poses_host[1:], pose[None].astype(np.float32)])
+            self._window_mask_host = np.concatenate(
+                [self._window_mask_host[1:], np.ones(1, bool)])
+            self._window_synced = g.num_scans
 
         self.prev_odom_pose = odom_pose.copy()
         self.prev_robot_pose = pose.copy()
@@ -339,7 +399,6 @@ class Mapper:
         """One pass of the loop-closure search (loopClosureThread body,
         ndt_mapper.cpp:569-685).  Returns the number of closures added."""
         self._scans_since_loop_closure = 0
-        self.stats = SessionStats()
         if not self.enable_mapping:
             return 0
         g = self.graph
@@ -412,6 +471,7 @@ class Mapper:
             self.stats.optimizations += 1
             self.optimization_last = g.num_scans
             self.map_update_available = True
+            self._window_synced = -1  # optimized poses invalidate the window
         return added
 
     def optimize(self) -> bool:
@@ -420,6 +480,7 @@ class Mapper:
         if ok:
             self.optimization_last = self.graph.num_scans
             self.map_update_available = True
+            self._window_synced = -1
         return ok
 
     # ------------------------------------------------------------------
@@ -471,6 +532,7 @@ class Mapper:
             self.prev_odom_pose_is_initialized = False
             self.global_scans_processed = 0
             self.optimization_last = 0
+            self._window_synced = -1  # new graph invalidates the window
         elif action & SAVE_TO_FILE:
             logger.info("Saving map to %s", filename)
             serialization.save_graph(self.graph, filename)

@@ -341,6 +341,54 @@ def match_scan_windowed(config: ScanMatcherConfig, poses, points, point_mask,
                      range_max)
     return uncorrected, res
 
+class RollingWindow(NamedTuple):
+    """Device-resident rolling scan window (newest scan in the last slot).
+
+    The reference rebuilds its local matcher from the last ``rolling_depth``
+    graph scans on every accepted scan (ndt_mapper.cpp:504-509), shipping all
+    window data each time.  Keeping the window on device turns the per-scan
+    host->device traffic into a single small append (the new scan only) and
+    keeps every jit signature canonical, so the fused match step compiles
+    exactly once per session.
+    """
+
+    poses: jnp.ndarray       # [D, 3] float32
+    points: jnp.ndarray      # [D, P, 2] float32
+    point_mask: jnp.ndarray  # [D, P] bool
+    mask: jnp.ndarray        # [D] bool
+
+
+def make_window(depth: int, max_points: int) -> RollingWindow:
+    return RollingWindow(
+        poses=jnp.zeros((depth, 3), jnp.float32),
+        points=jnp.zeros((depth, max_points, 2), jnp.float32),
+        point_mask=jnp.zeros((depth, max_points), bool),
+        mask=jnp.zeros((depth,), bool))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def window_append(window: RollingWindow, pose, points,
+                  point_mask) -> RollingWindow:
+    """Shift the window left and place the new scan in the last slot."""
+    one = jnp.ones((1,), bool)
+    return RollingWindow(
+        poses=jnp.concatenate([window.poses[1:], pose[None]]),
+        points=jnp.concatenate([window.points[1:], points[None]]),
+        point_mask=jnp.concatenate([window.point_mask[1:], point_mask[None]]),
+        mask=jnp.concatenate([window.mask[1:], one]))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def match_scan_rolling(config: ScanMatcherConfig, window: RollingWindow,
+                       range_max, scan_points, scan_mask, num_points, pose):
+    """match_scan_windowed over a device-resident RollingWindow, returning a
+    flat result so the host fetches everything in one device_get."""
+    unc, res = match_scan_windowed(
+        config, window.poses, window.points, window.point_mask, window.mask,
+        range_max, scan_points, scan_mask, num_points, pose)
+    return unc, res.score, res.correction, res.covariance
+
+
 class NDTScanMatcher:
     """Host-side stateful wrapper mirroring the ScanMatcher plugin interface.
 

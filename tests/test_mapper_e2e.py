@@ -74,6 +74,21 @@ class TestCorridorMapping:
         r2 = mapper.process_scan(msg, pose + [0.01, 0.0, 0.0])
         assert not r2.accepted  # < minimum_travel_distance
 
+    def test_session_stats_survive_loop_closure(self):
+        """Regression: loop_closure() must not reset session statistics
+        (the runtime reads mapper.stats.summary() after a final pass)."""
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(15)
+        odom = sim.drift_odometry(truth, 0.005, 0.002, seed=9)
+        mapper, est, _ = run_mapping(world, truth, odom)
+        processed = mapper.stats.scans_processed
+        accepted = mapper.stats.scans_accepted
+        assert accepted >= 10
+        mapper.loop_closure()
+        assert mapper.stats.scans_processed == processed
+        assert mapper.stats.scans_accepted == accepted
+        assert mapper.stats.timer.count["local_match"] >= accepted - 1
+
     def test_map_render(self):
         world = sim.make_box_world(8.0, 6.0)
         truth = np.stack([np.linspace(2.0, 5.0, 12),
