@@ -1,0 +1,410 @@
+"""Benchmark harness for the five BASELINE.json configs.
+
+The reference publishes no numbers (SURVEY.md section 6), so this harness
+*creates* the baseline record: each config measures accuracy (ATE / tracking
+error) and throughput (scans/sec, candidates/sec, particles/sec) on whatever
+backend JAX selects (the real TPU chip under the driver; the virtual CPU mesh
+in CI).  Results append to ``benchmarks/results.json`` and print as a table.
+
+Usage:
+  python benchmarks/run_benchmarks.py            # all configs
+  python benchmarks/run_benchmarks.py 1 4        # selected configs
+  python benchmarks/run_benchmarks.py --quick    # CI-sized inputs
+
+Configs (BASELINE.json:6-12):
+  1. single scan-pair NDT registration (one exhaustive matchScan)
+  2. rolling local mapping: 200-scan corridor, rolling_depth=10
+  3. full SLAM with loop closure + optimization + occupancy export (office)
+  4. particle-filter localization, 5000 particles, KLD resampling
+  5. multi-host district map: 50k keyframes, constraint-sharded LM/PCG solve
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+
+
+def _now_steady(fn, warmup=2, reps=5):
+    """Median wall time of fn() after warmup calls."""
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _device_name():
+    import jax
+    d = jax.devices()[0]
+    return f"{d.platform}:{d.device_kind} x{jax.device_count()}"
+
+
+# ---------------------------------------------------------------------------
+def bench_config1(quick: bool) -> dict:
+    """Single scan-pair NDT registration (config 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_2d_tpu.config import ScanMatcherConfig
+    from ndt_2d_tpu.matching import matcher
+    from ndt_2d_tpu.utils import sim
+
+    cfg = ScanMatcherConfig(grid_cells_x=160, grid_cells_y=160)
+    world = sim.make_box_world(10.0, 8.0)
+    rng = np.random.default_rng(0)
+    pose_a = np.asarray([5.0, 4.0, 0.1], np.float32)
+    true_offset = np.asarray([0.03, -0.02, 0.012], np.float32)
+
+    msg = sim.scan_at_pose(world, pose_a, n_beams=360, range_max=15.0,
+                           noise=0.005, rng=rng)
+    pts_a, mask_a = sim.project_scan(msg, 512)
+    msg = sim.scan_at_pose(world, pose_a + true_offset, n_beams=360,
+                           range_max=15.0, noise=0.005, rng=rng)
+    pts_b, mask_b = sim.project_scan(msg, 512)
+
+    grid = matcher.build_window_ndt(
+        cfg, jnp.asarray(pose_a[None]), jnp.asarray(pts_a[None]),
+        jnp.asarray(mask_a[None]), jnp.ones(1, bool), jnp.float32(15.0))
+    jax.block_until_ready(grid)
+
+    jb, jm = jnp.asarray(pts_b), jnp.asarray(mask_b)
+    nb = jnp.int32(int(mask_b.sum()))
+    guess = jnp.asarray(pose_a, jnp.float32)  # start without the offset
+
+    def run():
+        r = matcher.match_scan(cfg, grid, jb, jm, nb, guess,
+                               jnp.float32(15.0))
+        jax.block_until_ready(r)
+        return r
+
+    res = run()
+    corr = np.asarray(res.correction)
+    err = corr - true_offset
+    t = _now_steady(run, warmup=1, reps=3 if quick else 10)
+    return {
+        "config": 1,
+        "name": "scan_pair_registration",
+        "recovered_offset": [round(float(v), 4) for v in corr],
+        "true_offset": [round(float(v), 4) for v in true_offset],
+        "registration_err_m": round(float(np.hypot(err[0], err[1])), 4),
+        "registration_err_rad": round(float(abs(err[2])), 4),
+        "match_ms": round(t * 1e3, 3),
+        "candidates_per_sec": round(cfg.num_candidates / t),
+    }
+
+
+# ---------------------------------------------------------------------------
+def _mapper_config(grid_cells=192, **kw):
+    from ndt_2d_tpu.config import MapperConfig, ScanMatcherConfig
+    mcfg = ScanMatcherConfig(grid_cells_x=grid_cells, grid_cells_y=grid_cells)
+    return MapperConfig(local_scan_matcher=mcfg, global_scan_matcher=mcfg,
+                        max_points_per_scan=512, **kw)
+
+
+def bench_config2(quick: bool) -> dict:
+    """Rolling local mapping: 200-scan corridor, no loop closure (config 2)."""
+    from ndt_2d_tpu.io import bag as bag_mod
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    n = 60 if quick else 200
+    bag = bag_mod.record_synthetic("corridor", n, n_beams=360, seed=0)
+    mapper = Mapper(_mapper_config(loop_closure_every=10**9))
+
+    est, used_truth, times = [], [], []
+    for t, (msg, odom) in enumerate(bag):
+        t0 = time.perf_counter()
+        res = mapper.process_scan(msg, odom)
+        times.append(time.perf_counter() - t0)
+        if res.accepted:
+            est.append(res.pose)
+            used_truth.append(bag.truth[t])
+    steady = np.asarray(times[3:])
+    ate = metrics.ate_rmse(np.asarray(est), np.asarray(used_truth))
+    odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
+    return {
+        "config": 2,
+        "name": "rolling_mapping_corridor",
+        "scans": n,
+        "accepted": len(est),
+        "ate_rmse_m": round(ate, 4),
+        "odom_only_ate_m": round(odom_ate, 4),
+        "scan_ms_median": round(float(np.median(steady)) * 1e3, 2),
+        "scans_per_sec": round(1.0 / float(np.median(steady)), 2),
+        "first_scan_ms": round(times[1] * 1e3, 1) if len(times) > 1 else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+def bench_config3(quick: bool) -> dict:
+    """Full SLAM: office loop with loop closure + optimization + occupancy
+    export (config 3)."""
+    import dataclasses as dc
+
+    from ndt_2d_tpu.config import ScanMatcherConfig
+    from ndt_2d_tpu.io import bag as bag_mod
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    n = 150 if quick else 2000
+    bag = bag_mod.record_synthetic("office", n, n_beams=600, range_max=12.0,
+                                   seed=1)
+    global_mcfg = ScanMatcherConfig(
+        ndt_resolution=0.35, search_linear_size=0.15,
+        search_linear_resolution=0.01, search_angular_size=0.05,
+        grid_cells_x=160, grid_cells_y=160)
+    cfg = dc.replace(_mapper_config(), global_scan_matcher=global_mcfg,
+                     global_search_size=4.0, optimization_node_limit=10,
+                     loop_closure_every=20)
+    mapper = Mapper(cfg)
+
+    est, used_truth, times = [], [], []
+    t_all0 = time.perf_counter()
+    for t, (msg, odom) in enumerate(bag):
+        t0 = time.perf_counter()
+        res = mapper.process_scan(msg, odom)
+        times.append(time.perf_counter() - t0)
+        if res.accepted:
+            est.append(res.pose)
+            used_truth.append(bag.truth[t])
+    mapper.loop_closure()
+    wall = time.perf_counter() - t_all0
+    grid = mapper.render_map()
+
+    closures = int(mapper.graph.constraint_switchable.sum())
+    final = mapper.graph.poses[:len(used_truth)]
+    ate = metrics.ate_rmse(final, np.asarray(used_truth))
+    odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
+    return {
+        "config": 3,
+        "name": "full_slam_office",
+        "scans_in": n,
+        "accepted": len(est),
+        "loop_closures": closures,
+        "optimizations": mapper.stats.optimizations,
+        "ate_rmse_m": round(ate, 4),
+        "odom_only_ate_m": round(odom_ate, 4),
+        "wall_s": round(wall, 2),
+        "scans_per_sec_wall": round(n / wall, 2),
+        "occupied_cells": int((grid.data == 100).sum()),
+        "timing": mapper.stats.timer.summary(),
+    }
+
+
+# ---------------------------------------------------------------------------
+def bench_config4(quick: bool) -> dict:
+    """Particle-filter localization: 5000 particles, KLD (config 4)."""
+    import dataclasses as dc
+
+    from ndt_2d_tpu.config import MapperConfig
+    from ndt_2d_tpu.io import bag as bag_mod
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    n_map, n_loc = (40, 30) if quick else (150, 150)
+    max_particles = 1000 if quick else 5000
+    bag = bag_mod.record_synthetic("box", n_map, n_beams=360, seed=2)
+    mapper = Mapper(_mapper_config(loop_closure_every=10**9))
+    for t, (msg, odom) in enumerate(bag):
+        mapper.process_scan(msg, odom)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "map.npz")
+        from ndt_2d_tpu.mapping.mapper import LOAD_FROM_FILE, SAVE_TO_FILE
+        mapper.configure(SAVE_TO_FILE, path)
+
+        pf_cfg = _mapper_config(use_particle_filter=True)
+        pf_cfg = dc.replace(
+            pf_cfg, particle_filter=dc.replace(
+                MapperConfig().particle_filter,
+                min_particles=max(100, max_particles // 10),
+                max_particles=max_particles,
+                odom_alpha1=0.05, odom_alpha2=0.05,
+                odom_alpha3=0.05, odom_alpha4=0.05))
+        loc = Mapper(pf_cfg, seed=3)
+        loc.configure(LOAD_FROM_FILE, path)
+
+    loc_bag = bag_mod.record_synthetic("box", n_loc, n_beams=360, seed=7,
+                                       odom_trans_noise=0.01)
+    rel_truth = metrics.relative_to_first(loc_bag.truth)
+    loc.set_initial_pose(rel_truth[0], np.diag([0.04, 0.04, 0.01]),
+                         loc_bag.truth[0])
+    errs, times = [], []
+    for t, (msg, odom) in enumerate(loc_bag):
+        if t == 0:
+            continue
+        t0 = time.perf_counter()
+        res = loc.process_scan(msg, odom)
+        times.append(time.perf_counter() - t0)
+        if res.accepted:
+            errs.append(float(np.hypot(*(res.pose[:2] - rel_truth[t][:2]))))
+    steady = float(np.median(np.asarray(times[2:])))
+    beams = loc.config.global_scan_matcher.laser_max_beams
+    return {
+        "config": 4,
+        "name": "particle_filter_localization",
+        "max_particles": max_particles,
+        "scans": n_loc,
+        "mean_pos_err_m": round(float(np.mean(errs)), 4),
+        "final_pos_err_m": round(errs[-1], 4),
+        "scan_ms_median": round(steady * 1e3, 2),
+        "particle_scores_per_sec": round(max_particles * beams / steady),
+    }
+
+
+# ---------------------------------------------------------------------------
+def bench_config5(quick: bool) -> dict:
+    """Multi-host district map: 50k keyframes, constraint-sharded distributed
+    LM/PCG pose-graph solve over the device mesh (config 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_2d_tpu.config import SolverConfig
+    from ndt_2d_tpu.graph import solver as base
+    from ndt_2d_tpu.parallel import mesh as mesh_mod
+    from ndt_2d_tpu.parallel import solver as psolver
+
+    n = 5_000 if quick else 50_000
+    rng = np.random.default_rng(0)
+
+    # Synthetic district: a serpentine survey over a grid with odometry
+    # chain + periodic loop-closure constraints, then noise on the initial
+    # poses.  Ground truth is exactly recoverable.
+    side = int(np.sqrt(n))
+    xs = np.arange(n) % side
+    ys = np.arange(n) // side
+    xs = np.where(ys % 2 == 0, xs, side - 1 - xs)  # serpentine
+    truth = np.stack([xs.astype(np.float64) * 2.0, ys * 2.0,
+                      rng.uniform(-0.3, 0.3, n)], -1)
+
+    begin = np.arange(n - 1, dtype=np.int32)
+    end = begin + 1
+    # loop closures: column revisits between adjacent rows
+    lc_end = np.arange(n - side, dtype=np.int32)
+    lc_begin = lc_end + side
+    keep = rng.random(len(lc_begin)) < (0.2 if quick else 0.1)
+    begin = np.concatenate([begin, lc_begin[keep]])
+    end = np.concatenate([end, lc_end[keep]])
+
+    def rel(a, b):
+        d = truth[b, :2] - truth[a, :2]
+        c, s = np.cos(truth[a, 2]), np.sin(truth[a, 2])
+        return np.stack([c * d[:, 0] + s * d[:, 1],
+                         -s * d[:, 0] + c * d[:, 1],
+                         truth[b, 2] - truth[a, 2]], -1)
+
+    transform = rel(begin, end)
+    info = np.tile(np.eye(3, dtype=np.float32) * 100.0, (len(begin), 1, 1))
+    noisy = truth + rng.normal(0, [0.3, 0.3, 0.02], (n, 3))
+    noisy[0] = truth[0]
+
+    mesh = mesh_mod.make_mesh()  # all available devices
+    n_shards = mesh.shape[mesh_mod.BATCH_AXIS]
+    b, e, t_, i_, cm = psolver.pad_constraints(
+        begin.astype(np.int32), end.astype(np.int32),
+        transform.astype(np.float32), info, np.ones(len(begin), bool),
+        n_shards)
+    cfg = SolverConfig(max_iterations=30, cg_max_iterations=150)
+
+    poses0 = jnp.asarray(noisy, jnp.float32)
+    nm = jnp.ones(n, bool)
+
+    def run():
+        r = psolver.solve_multichip(cfg, mesh, poses0, b, e, t_, i_, cm, nm)
+        jax.block_until_ready(r.poses)
+        return r
+
+    t0 = time.perf_counter()
+    res = run()
+    first = time.perf_counter() - t0
+    t_solve = _now_steady(run, warmup=0, reps=1 if quick else 2)
+
+    out = np.asarray(res.poses, np.float64)
+    err = np.sqrt(np.mean(np.sum((out[:, :2] - truth[:, :2]) ** 2, -1)))
+    err0 = np.sqrt(np.mean(np.sum((noisy[:, :2] - truth[:, :2]) ** 2, -1)))
+    return {
+        "config": 5,
+        "name": "district_distributed_solve",
+        "nodes": n,
+        "constraints": int(len(begin)),
+        "mesh": dict(zip(mesh.axis_names, (int(v) for v in mesh.devices.shape))),
+        "initial_rmse_m": round(float(err0), 4),
+        "final_rmse_m": round(float(err), 4),
+        "iterations": int(res.iterations),
+        "solve_s": round(t_solve, 3),
+        "first_solve_s": round(first, 3),
+        "constraints_per_sec": round(len(begin) * int(res.iterations)
+                                     / t_solve),
+    }
+
+
+# ---------------------------------------------------------------------------
+BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
+           4: bench_config4, 5: bench_config5}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("configs", nargs="*", type=int,
+                    default=None, help="config numbers (default: all)")
+    ap.add_argument("--quick", action="store_true", help="CI-sized inputs")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual 8-device mesh)")
+    ap.add_argument("--out", default=RESULTS_PATH)
+    args = ap.parse_args(argv)
+    configs = args.configs or sorted(BENCHES)
+
+    if args.cpu:
+        # The environment pre-imports jax pinned to the TPU backend; env-var
+        # edits are too late, only jax.config works (see tests/conftest.py).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    device = _device_name()
+    print(f"device: {device}", file=sys.stderr)
+    results = []
+    for c in configs:
+        print(f"--- config {c} ---", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        r = BENCHES[c](args.quick)
+        r["device"] = device
+        r["quick"] = args.quick
+        r["bench_wall_s"] = round(time.perf_counter() - t0, 1)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    existing = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    existing.extend(results)
+    with open(args.out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(f"appended {len(results)} results to {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

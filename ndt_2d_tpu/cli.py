@@ -19,6 +19,7 @@ import argparse
 import dataclasses
 import json
 import logging
+import os
 import sys
 
 import numpy as np
@@ -136,6 +137,14 @@ def _run_session(args, localize: bool) -> int:
         np.savez_compressed(args.grid_out, data=grid.data, origin=grid.origin,
                             resolution=grid.resolution)
         stats["grid_out"] = args.grid_out
+    if getattr(args, "viz_out", None):
+        from ndt_2d_tpu.utils import viz
+        viz.save_graph_png(
+            mapper.graph, args.viz_out, grid=mapper.render_map(),
+            particles=(mapper.filter.cloud() if mapper.filter else None),
+            truth=(metrics.relative_to_first(bag.truth)
+                   if bag.truth is not None else None))
+        stats["viz_out"] = args.viz_out
     if control:
         control.close()
     print(json.dumps(stats))
@@ -156,6 +165,28 @@ def cmd_configure(args, action: int) -> int:
                                  getattr(args, "filename", "") or "")
     print(json.dumps(out))
     return 0 if out.get("ok") else 1
+
+
+def cmd_viz(args) -> int:
+    """Render a saved map (and optional occupancy grid) to PNG — the
+    offline analog of the reference's RViz graph/map displays."""
+    from ndt_2d_tpu.io import serialization
+    from ndt_2d_tpu.mapping import occupancy
+    from ndt_2d_tpu.utils import viz
+    g = serialization.load_graph(args.map, args.max_points)
+    grid = None
+    if args.grid:
+        z = np.load(args.grid)
+        grid = occupancy.OccupancyGridResult(
+            data=z["data"], origin=z["origin"],
+            resolution=float(z["resolution"]))
+    elif args.render_grid:
+        grid = occupancy.render_occupancy(g.poses, g.points, g.point_mask,
+                                          args.resolution, 0.25)
+    viz.save_graph_png(g, args.out, grid=grid)
+    print(json.dumps({"out": args.out, "scans": g.num_scans,
+                      "constraints": g.num_constraints}))
+    return 0
 
 
 def cmd_info(args) -> int:
@@ -199,6 +230,9 @@ def main(argv=None) -> int:
         p.add_argument("--map-out", default=None)
         p.add_argument("--grid-out", default=None,
                        help="occupancy grid npz output")
+        p.add_argument("--viz-out", default=None,
+                       help="session visualization PNG (graph + map + "
+                            "particles over ground truth)")
         p.add_argument("--socket", default=None,
                        help="UNIX socket path for runtime control")
         p.add_argument("--particle-filter", action="store_true")
@@ -250,7 +284,23 @@ def main(argv=None) -> int:
     p.add_argument("--map", required=True)
     p.set_defaults(fn=cmd_info)
 
+    p = sub.add_parser("viz", help="render a saved map to PNG")
+    p.add_argument("--map", required=True)
+    p.add_argument("--grid", default=None, help="occupancy grid npz overlay")
+    p.add_argument("--render-grid", action="store_true",
+                   help="re-render the occupancy grid from the map")
+    p.add_argument("--resolution", type=float, default=0.05)
+    p.add_argument("--max-points", type=int, default=512)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_viz)
+
     args = ap.parse_args(argv)
+    platform = os.environ.get("NDT2D_PLATFORM")
+    if platform:
+        # The environment may pre-pin JAX to a backend before main() runs;
+        # jax.config is the only override that still works at this point.
+        import jax
+        jax.config.update("jax_platforms", platform)
     from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
     enable_compilation_cache()
     return args.fn(args)

@@ -425,14 +425,22 @@ class Mapper:
                 if not g.point_mask[i].any():
                     continue  # skip point-less scans (ndt_mapper.cpp:625)
                 # Candidate region: one extra scan on either side
-                # (ndt_mapper.cpp:627-631; end index is exclusive).
+                # (ndt_mapper.cpp:627-631; end index is exclusive).  Padded
+                # to a fixed 3-slot window so the build kernel compiles for
+                # exactly one shape.
                 begin_idx = i - 1 if i > 0 else i
                 end_idx = i + 1 if i < rolling else i
+                k = end_idx - begin_idx
+                poses3 = np.zeros((3, 3), np.float32)
+                pts3 = np.zeros((3, g.max_points, 2), np.float32)
+                pmask3 = np.zeros((3, g.max_points), bool)
+                wmask3 = np.zeros(3, bool)
+                poses3[:k] = g.poses[begin_idx:end_idx].astype(np.float32)
+                pts3[:k] = g.points[begin_idx:end_idx]
+                pmask3[:k] = g.point_mask[begin_idx:end_idx]
+                wmask3[:k] = True
                 self.global_matcher.reset()
-                self.global_matcher.add_scans(
-                    g.poses[begin_idx:end_idx].astype(np.float32),
-                    g.points[begin_idx:end_idx],
-                    g.point_mask[begin_idx:end_idx])
+                self.global_matcher.add_scans(poses3, pts3, pmask3, wmask3)
                 pose32 = g.poses[idx].astype(np.float32)
                 n = int(g.point_mask[idx].sum())
                 res = self.global_matcher.match_scan(

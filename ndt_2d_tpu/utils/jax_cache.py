@@ -29,8 +29,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
             os.path.expanduser("~"), ".cache", "ndt_2d_tpu", "xla")
     if _enabled:
         return cache_dir
-    os.makedirs(cache_dir, exist_ok=True)
     import jax
+    if "cpu" in (jax.config.jax_platforms or
+                 os.environ.get("JAX_PLATFORMS", "")):
+        # CPU compiles are fast and the XLA:CPU AOT loader spams feature-
+        # mismatch warnings on reload; the cache only pays off on TPU.
+        return ""
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache every compilation regardless of compile time / size.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -49,6 +49,27 @@ class TestCli:
         grid = np.load(grid_out)
         assert (grid["data"] == 100).sum() > 10
 
+    def test_viz_outputs(self, small_bag, tmp_path, capsys):
+        map_out = str(tmp_path / "map.npz")
+        viz_out = str(tmp_path / "session.png")
+        rc = cli.main(["run", "--bag", small_bag, "--map-out", map_out,
+                       "--viz-out", viz_out,
+                       "--local_scan_matcher.grid_cells", "160",
+                       "--loop-closure-every", "1000000"])
+        assert rc == 0
+        capsys.readouterr()
+        with open(viz_out, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+        map_png = str(tmp_path / "map.png")
+        rc = cli.main(["viz", "--map", map_out, "--render-grid",
+                       "--out", map_png])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["scans"] >= 10
+        with open(map_png, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
     def test_localize_against_map(self, small_bag, tmp_path, capsys):
         map_out = str(tmp_path / "map.npz")
         assert cli.main(["run", "--bag", small_bag, "--map-out", map_out,
