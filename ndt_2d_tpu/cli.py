@@ -68,7 +68,7 @@ def _mapper_config(args):
             kw[f] = v
     for f in ("rolling_depth", "global_search_limit",
               "optimization_node_limit", "loop_closure_every",
-              "max_points_per_scan"):
+              "max_points_per_scan", "loop_search"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -237,6 +237,10 @@ def main(argv=None) -> int:
                        help="UNIX socket path for runtime control")
         p.add_argument("--particle-filter", action="store_true")
         p.add_argument("--no-mapping", action="store_true")
+        p.add_argument("--loop-search", choices=["radius", "descriptor"],
+                       default=None, dest="loop_search",
+                       help="loop-closure candidate source (default radius; "
+                            "descriptor = drift-robust appearance search)")
         p.add_argument("--verbose", action="store_true")
         # mapper params (ndt_mapper.cpp:59-103)
         p.add_argument("--resolution", type=float, default=None)

@@ -157,5 +157,23 @@ class MapperConfig:
     # host loop is single-threaded and deterministic instead.
     loop_closure_every: int = 5
 
+    # Loop-closure candidate source: "radius" = barycenter radius search
+    # (Graph::findNearest parity, graph.cpp:167-189); "descriptor" =
+    # appearance-based cosine correlation over rotation-invariant keyframe
+    # descriptors (ndt_2d_tpu.parallel.loop_search) — drift-robust and the
+    # basis of the sharded all-to-all search at district scale.
+    loop_search: str = "radius"
+    descriptor_bins: int = 32
+    descriptor_min_similarity: float = 0.95
+    # Descriptor-mode candidates carry unknown odometry drift, so their NDT
+    # confirmation runs coarse-to-fine: this wide/coarse lattice aligns first
+    # (starting from the candidate's position), then ``global_scan_matcher``
+    # refines and produces the score + covariance that gate acceptance.
+    coarse_scan_matcher: ScanMatcherConfig = dataclasses.field(
+        default_factory=lambda: ScanMatcherConfig(
+            ndt_resolution=0.5, search_linear_size=2.0,
+            search_linear_resolution=0.1, search_angular_size=0.1,
+            search_angular_resolution=0.02))
+
 
 DEFAULT_CONFIG = MapperConfig()

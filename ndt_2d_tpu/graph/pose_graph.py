@@ -39,6 +39,13 @@ class _GrowableRows:
     def view(self) -> np.ndarray:
         return self._data[:self._n]
 
+    @property
+    def padded(self) -> np.ndarray:
+        """The full capacity buffer (rows >= len() are zero).  Shapes change
+        only on capacity doubling, so device code keyed on this shape
+        recompiles O(log N) times instead of per append."""
+        return self._data
+
     def __len__(self) -> int:
         return self._n
 
@@ -92,6 +99,14 @@ class Graph:
     @property
     def constraint_switchable(self) -> np.ndarray:
         return self._c_switchable.view
+
+    @property
+    def points_padded(self) -> np.ndarray:
+        return self._points.padded
+
+    @property
+    def point_mask_padded(self) -> np.ndarray:
+        return self._point_mask.padded
 
     @property
     def num_scans(self) -> int:

@@ -82,6 +82,7 @@ class Mapper:
 
         self.local_matcher = None
         self.global_matcher = None
+        self.coarse_matcher = None
 
         self.prev_odom_pose = np.zeros(3)
         self.prev_robot_pose = np.zeros(3)
@@ -122,6 +123,11 @@ class Mapper:
             mtype, self.config.global_scan_matcher, self.range_max)
         self.local_matcher = registry.create(
             mtype, self.config.local_scan_matcher, self.range_max)
+        if self.config.loop_search == "descriptor":
+            self.coarse_matcher = registry.create(
+                mtype, self.config.coarse_scan_matcher, self.range_max)
+        else:
+            self.coarse_matcher = None
         if self.use_particle_filter or not self.enable_mapping:
             # Localization: global NDT over ALL scans of the loaded map
             # (ndt_mapper.cpp:296-303), built once.
@@ -411,13 +417,39 @@ class Mapper:
 
         added = 0
         new_matches = False
+        desc_table = None
+        if self.config.loop_search == "descriptor" and num_scans:
+            # Appearance-based candidates: batched rotation-invariant
+            # descriptors + cosine top-k (ndt_2d_tpu.parallel.loop_search).
+            # Computed over the graph's padded capacity buffers so the jit
+            # signature only changes on capacity doubling.
+            from ndt_2d_tpu.parallel import loop_search
+            desc_table = loop_search.descriptors(
+                g.points_padded, g.point_mask_padded,
+                np.float32(self.range_max), self.config.descriptor_bins)
+            desc_valid = np.arange(g.points_padded.shape[0]) < num_scans
         while self.global_scans_processed < num_scans:
             idx = self.global_scans_processed
             rolling = idx - depth
-            query = (g.barycenters()[idx] if g.use_barycenter
-                     else g.poses[idx, :2])
-            candidates = g.find_nearest(
-                query, self.config.global_search_size, rolling)
+            if desc_table is not None:
+                from ndt_2d_tpu.parallel import loop_search
+                # Exclude i >= idx - depth: findNearest's limit_scan_index
+                # semantics (graph.cpp:181, candidates strictly below the
+                # rolling window).
+                cand_idx, cand_sim = loop_search.search_dense(
+                    desc_table, desc_valid, idx,
+                    k=self.config.global_search_limit,
+                    rolling_exclude=depth + 1)
+                cand_idx = np.asarray(cand_idx)
+                cand_sim = np.asarray(cand_sim)
+                keep = (np.isfinite(cand_sim)
+                        & (cand_sim >= self.config.descriptor_min_similarity))
+                candidates = cand_idx[keep]
+            else:
+                query = (g.barycenters()[idx] if g.use_barycenter
+                         else g.poses[idx, :2])
+                candidates = g.find_nearest(
+                    query, self.config.global_search_size, rolling)
 
             checks_left = self.config.global_search_limit
             for i in candidates:
@@ -441,10 +473,25 @@ class Mapper:
                 wmask3[:k] = True
                 self.global_matcher.reset()
                 self.global_matcher.add_scans(poses3, pts3, pmask3, wmask3)
-                pose32 = g.poses[idx].astype(np.float32)
+                start = g.poses[idx].copy()
                 n = int(g.point_mask[idx].sum())
+                if desc_table is not None:
+                    # Descriptor candidates are drift-agnostic: coarse-to-
+                    # fine confirmation.  Start at the candidate's position
+                    # (keeping the query's heading) and run the wide coarse
+                    # lattice, so the fine window below only has to cover
+                    # the coarse quantization, not the odometry drift.
+                    start[:2] = g.poses[i, :2]
+                    self.coarse_matcher.reset()
+                    self.coarse_matcher.add_scans(poses3, pts3, pmask3,
+                                                  wmask3)
+                    coarse = self.coarse_matcher.match_scan(
+                        g.points[idx], g.point_mask[idx], n,
+                        start.astype(np.float32))
+                    start = start + np.asarray(coarse.correction, np.float64)
                 res = self.global_matcher.match_scan(
-                    g.points[idx], g.point_mask[idx], n, pose32)
+                    g.points[idx], g.point_mask[idx], n,
+                    start.astype(np.float32))
                 score = float(res.score)
                 if np.isfinite(score) and score < self.typical_matcher_response:
                     new_matches = True
@@ -452,8 +499,7 @@ class Mapper:
                     self.stats.loop_closures_accepted += 1
                     logger.info("***Adding loop closure from %d to %d (score %f)",
                                 i, idx, score)
-                    new_pose = g.poses[idx] + np.asarray(res.correction,
-                                                        np.float64)
+                    new_pose = start + np.asarray(res.correction, np.float64)
                     poses = g.poses.copy()
                     poses[idx] = new_pose
                     g.set_poses(poses)
