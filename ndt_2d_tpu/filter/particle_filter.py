@@ -111,6 +111,33 @@ def kld_resample(key, particles, weights, mask, kld_err, kld_z, bin_sizes,
     return samp, samp_w, n_active.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "mcfg", "min_particles", "max_particles"))
+def pf_step(key_motion, key_resample, particles, weights, mask, control,
+            mcfg, grid, points, point_mask, num_points,
+            alphas, kld_err, kld_z, bin_sizes,
+            min_particles: int, max_particles: int):
+    """Fused particle-filter scan update: motion sample + batched NDT
+    measurement + KLD resample + statistics in ONE device dispatch.
+
+    Semantically identical to calling update() / measure() / resample() /
+    updateStatistics() in sequence (the laserCallback PF branch,
+    ndt_mapper.cpp:471-476) — the intermediate statistics refreshes of the
+    sequential path only normalize weights that the next stage re-normalizes
+    anyway.  Returns (particles, weights, n_active, mean, cov).
+    """
+    p = motion_model.sample(key_motion, particles, control[0], control[1],
+                            control[2], alphas[0], alphas[1], alphas[2],
+                            alphas[3])
+    scores = matcher_mod.score_points_batch(mcfg, grid, points, point_mask,
+                                            num_points, p)
+    p, w, n = kld_resample(key_resample, p, scores, mask, kld_err, kld_z,
+                           bin_sizes, min_particles, max_particles)
+    new_mask = jnp.arange(max_particles) < n
+    w, mean, cov = update_statistics(p, w, new_mask)
+    return p, w, n, mean, cov
+
+
 class ParticleFilter:
     """Host-side stateful wrapper (the reference class surface:
     init / update / measure / resample / getMean / getCovariance,
@@ -182,6 +209,29 @@ class ParticleFilter:
             c.min_particles, c.max_particles)
         self.n_active = int(n)
         self._refresh_statistics()
+
+    def step(self, matcher, control, points, point_mask, num_points):
+        """Fused per-scan update (see pf_step): one device dispatch, one
+        result fetch.  Replaces update()+measure()+resample() in the hot
+        localization loop."""
+        import jax
+
+        c = self.config
+        k1, k2 = jax.random.split(self._split())
+        alphas = jnp.asarray([c.odom_alpha1, c.odom_alpha2, c.odom_alpha3,
+                              c.odom_alpha4], jnp.float32)
+        bins = jnp.asarray([c.kld_bin_x, c.kld_bin_y, c.kld_bin_theta],
+                           jnp.float32)
+        p, w, n, mean, cov = pf_step(
+            k1, k2, self.particles, self.weights, self.mask,
+            jnp.asarray(control, jnp.float32), matcher.config, matcher.grid,
+            jnp.asarray(points), jnp.asarray(point_mask),
+            jnp.int32(num_points), alphas, jnp.float32(c.kld_err),
+            jnp.float32(c.kld_z), bins, c.min_particles, c.max_particles)
+        self.particles, self.weights = p, w
+        n, self._mean, self._cov = jax.device_get((n, mean, cov))
+        self.n_active = int(n)
+        return np.asarray(self._mean)
 
     # ------------------------------------------------------------------
     def get_mean(self):

@@ -390,12 +390,10 @@ class Mapper:
             _normalize_angle(robot_pose[2] - self.prev_robot_pose[2])])
 
         f = self.filter
-        f.update(control[0], control[1], control[2])
-        f.measure(self.global_matcher, points, mask, num_points)
-        f.resample(self.config.particle_filter.kld_err,
-                   self.config.particle_filter.kld_z)
-
-        pose = np.asarray(f.get_mean(), np.float64)
+        with self.stats.timer.section("pf_step"):
+            mean = f.step(self.global_matcher, control, points, mask,
+                          num_points)
+        pose = np.asarray(mean, np.float64)
         self.prev_odom_pose = odom_pose.copy()
         self.prev_robot_pose = pose.copy()
         return ScanResult(accepted=True, pose=pose)
