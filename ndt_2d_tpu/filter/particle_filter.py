@@ -36,6 +36,21 @@ from ndt_2d_tpu.filter import motion_model
 from ndt_2d_tpu.matching import matcher as matcher_mod
 
 
+def normalize_weights(weights, mask):
+    """Normalize raw particle weights to a positive distribution.
+
+    The reference stores the *negative* NDT response as the weight
+    (particle_filter.cpp:84-88: lower = better matches are more negative)
+    and normalizes by the (negative) total in updateStatistics — which
+    flips sign and ranks correctly.  This helper reproduces exactly that:
+    w_i / sum(w), falling back to uniform over the mask when the total is
+    zero."""
+    w = jnp.where(mask, weights, 0.0)
+    total = jnp.sum(w)
+    return jnp.where(total != 0.0, w / total,
+                     mask.astype(w.dtype) / jnp.maximum(jnp.sum(mask), 1))
+
+
 @jax.jit
 def update_statistics(particles, weights, mask):
     """Normalize weights; weighted mean (circular for theta) and covariance.
@@ -44,10 +59,7 @@ def update_statistics(particles, weights, mask):
     including the xy covariance from correlation minus mean outer product and
     the theta variance via shortest angular distances to the circular mean.
     """
-    w = jnp.where(mask, weights, 0.0)
-    total = jnp.sum(w)
-    w = jnp.where(total != 0.0, w / total,
-                  mask.astype(w.dtype) / jnp.maximum(jnp.sum(mask), 1))
+    w = normalize_weights(weights, mask)
 
     mean_xy = jnp.sum(w[:, None] * particles[:, :2], axis=0)
     sum_cos = jnp.sum(w * jnp.cos(particles[:, 2]))
@@ -81,10 +93,9 @@ def kld_resample(key, particles, weights, mask, kld_err, kld_z, bin_sizes,
     the bound keeps its initial value max_particles.
     """
     m_total = max_particles
-    w = jnp.where(mask, weights, 0.0)
-    total = jnp.sum(w)
-    p = jnp.where(total > 0.0, w / total,
-                  mask.astype(w.dtype) / jnp.maximum(jnp.sum(mask), 1))
+    # Raw weights may be the reference's negative NDT responses; the
+    # sign-flipping normalization ranks them correctly either way.
+    p = normalize_weights(weights, mask)
     idx = jax.random.choice(key, particles.shape[0], shape=(m_total,), p=p)
     samp = particles[idx]
     samp_w = weights[idx]

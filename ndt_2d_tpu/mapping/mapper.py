@@ -371,6 +371,7 @@ class Mapper:
         pose = robot_pose + correction
         self.prev_odom_pose = odom_pose.copy()
         self.prev_robot_pose = pose.copy()
+        self.stats.record_scan(True, float(res.score))
         return ScanResult(accepted=True, pose=pose,
                           uncorrected_score=uncorrected,
                           matched_score=float(res.score),
@@ -396,6 +397,7 @@ class Mapper:
         pose = np.asarray(mean, np.float64)
         self.prev_odom_pose = odom_pose.copy()
         self.prev_robot_pose = pose.copy()
+        self.stats.record_scan(True)
         return ScanResult(accepted=True, pose=pose)
 
     # ------------------------------------------------------------------

@@ -162,3 +162,29 @@ class TestMeasurement:
         # Measurement should pull the cloud toward the true pose.
         assert abs(mean[0] - 5.0) < 0.3
         assert abs(mean[1] - 4.0) < 0.3
+
+
+class TestNegativeWeightResampling:
+    """Regression: the reference uses raw *negative* NDT responses as
+    weights (particle_filter.cpp:84-88); resampling must rank them
+    correctly (more negative = better), not fall back to uniform — the
+    fused pf_step feeds raw scores straight into kld_resample."""
+
+    def test_kld_resample_ranks_negative_weights(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.filter.particle_filter import kld_resample
+        n = 400
+        particles = jnp.concatenate([
+            jnp.zeros((n // 2, 3)),               # good cluster at origin
+            jnp.full((n // 2, 3), 5.0)])          # bad cluster far away
+        weights = jnp.concatenate([
+            jnp.full((n // 2,), -0.5),            # strong (negative) response
+            jnp.full((n // 2,), -0.01)])          # weak response
+        p, w, na = kld_resample(
+            jax.random.PRNGKey(0), particles, weights,
+            jnp.ones(n, bool), jnp.float32(0.01), jnp.float32(2.3),
+            jnp.asarray([0.5, 0.5, 0.2671]), 50, n)
+        frac_good = float((np.asarray(p)[:, 0] < 1.0).mean())
+        assert frac_good > 0.9, f"good-cluster fraction {frac_good}"
