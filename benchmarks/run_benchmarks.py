@@ -159,6 +159,37 @@ def bench_config2(quick: bool) -> dict:
     ate_al = metrics.ate_rmse_aligned(np.asarray(est), np.asarray(used_truth))
     odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
     odom_al = metrics.ate_rmse_aligned(bag.odom, bag.truth)
+
+    # Device-only fused step (window NDT build + score + 35k-candidate
+    # match): chained inside one jit to exclude per-dispatch relay RTT.
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_2d_tpu.matching import matcher as matcher_mod
+    w = mapper._sync_window()
+    from ndt_2d_tpu.mapping import laser
+    pts, pmask = laser.project_scan(bag[n - 1][0], mapper.range_max,
+                                    np.zeros(3), False, np.zeros(3),
+                                    mapper.config.max_points_per_scan)
+    jpts, jmask = jnp.asarray(pts), jnp.asarray(pmask)
+    jn = jnp.int32(int(pmask.sum()))
+    pose0 = jnp.asarray(mapper.prev_robot_pose, jnp.float32)
+    mcfg = mapper.config.local_scan_matcher
+    K = 4 if quick else 32
+
+    @jax.jit
+    def chain(p0):
+        def body(i, acc):
+            unc, s, corr, cov = matcher_mod.match_scan_rolling(
+                mcfg, w, jnp.float32(mapper.range_max), jpts, jmask, jn,
+                p0 + 0.001 * i)
+            return acc + s
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    jax.block_until_ready(chain(pose0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chain(pose0))
+    t_dev = (time.perf_counter() - t0) / K
     return {
         "config": 2,
         "name": "rolling_mapping_corridor",
@@ -170,6 +201,8 @@ def bench_config2(quick: bool) -> dict:
         "odom_aligned_m": round(odom_al, 4),
         "scan_ms_median": round(float(np.median(steady)) * 1e3, 2),
         "scans_per_sec": round(1.0 / float(np.median(steady)), 2),
+        "fused_step_device_ms": round(t_dev * 1e3, 3),
+        "scans_per_sec_device": round(1.0 / t_dev, 1),
         "first_scan_ms": round(times[1] * 1e3, 1) if len(times) > 1 else None,
     }
 
@@ -281,6 +314,49 @@ def bench_config4(quick: bool) -> dict:
             errs.append(float(np.hypot(*(res.pose[:2] - rel_truth[t][:2]))))
     steady = float(np.median(np.asarray(times[2:])))
     beams = loc.config.global_scan_matcher.laser_max_beams
+
+    # Device-only PF step time: chain K sequential steps inside one jit
+    # (states thread through lax.fori_loop; per-dispatch RTT excluded).
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_2d_tpu.filter import particle_filter as pf_mod
+    f = loc.filter
+    c = f.config
+    matcher = loc.global_matcher
+    from ndt_2d_tpu.mapping import laser
+    pts, pmask = laser.project_scan(loc_bag[10][0], loc.range_max,
+                                    np.zeros(3), False, np.zeros(3),
+                                    loc.config.max_points_per_scan)
+    K = 4 if quick else 32
+    alphas = jnp.asarray([c.odom_alpha1, c.odom_alpha2, c.odom_alpha3,
+                          c.odom_alpha4], jnp.float32)
+    bins = jnp.asarray([c.kld_bin_x, c.kld_bin_y, c.kld_bin_theta],
+                       jnp.float32)
+    jpts, jmask = jnp.asarray(pts), jnp.asarray(pmask)
+    jn = jnp.int32(int(pmask.sum()))
+    ctrl = jnp.asarray([0.05, 0.0, 0.0], jnp.float32)
+
+    @jax.jit
+    def chain(key, particles, weights, mask):
+        def body(i, s):
+            key, p, w, m = s
+            key, k1, k2 = jax.random.split(key, 3)
+            p, w, n, mean, cov = pf_mod.pf_step(
+                k1, k2, p, w, m, ctrl, matcher.config, matcher.grid,
+                jpts, jmask, jn, alphas, jnp.float32(c.kld_err),
+                jnp.float32(c.kld_z), bins, c.min_particles,
+                c.max_particles)
+            return key, p, w, jnp.arange(c.max_particles) < n
+        return jax.lax.fori_loop(0, K, body, (key, particles, weights, mask))
+
+    out = chain(jax.random.PRNGKey(0), f.particles, f.weights, f.mask)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = chain(jax.random.PRNGKey(1), f.particles, f.weights, f.mask)
+    jax.block_until_ready(out)
+    t_dev = (time.perf_counter() - t0) / K
+
     return {
         "config": 4,
         "name": "particle_filter_localization",
@@ -289,7 +365,10 @@ def bench_config4(quick: bool) -> dict:
         "mean_pos_err_m": round(float(np.mean(errs)), 4),
         "final_pos_err_m": round(errs[-1], 4),
         "scan_ms_median": round(steady * 1e3, 2),
-        "particle_scores_per_sec": round(max_particles * beams / steady),
+        "pf_step_device_ms": round(t_dev * 1e3, 3),
+        "particle_scores_per_sec": round(max_particles * beams / t_dev),
+        "particle_scores_per_sec_dispatched": round(
+            max_particles * beams / steady),
     }
 
 

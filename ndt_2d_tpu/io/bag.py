@@ -31,13 +31,16 @@ class ScanBag:
     def __len__(self) -> int:
         return self.ranges.shape[0]
 
+    def __getitem__(self, t: int) -> Tuple[LaserScanMsg, np.ndarray]:
+        return (LaserScanMsg(
+            ranges=self.ranges[t], angle_min=self.angle_min,
+            angle_increment=self.angle_increment,
+            time_increment=self.time_increment,
+            range_max=self.range_max), self.odom[t])
+
     def __iter__(self) -> Iterator[Tuple[LaserScanMsg, np.ndarray]]:
         for t in range(len(self)):
-            yield (LaserScanMsg(
-                ranges=self.ranges[t], angle_min=self.angle_min,
-                angle_increment=self.angle_increment,
-                time_increment=self.time_increment,
-                range_max=self.range_max), self.odom[t])
+            yield self[t]
 
 
 def save_bag(bag: ScanBag, path: str) -> None:
