@@ -183,3 +183,48 @@ class TestFastPathEquivalence:
         assert float(res.score) < -0.2  # recovers through the wide window
         np.testing.assert_allclose(np.asarray(res.correction)[:2],
                                    [-0.1, -0.05], atol=0.045)
+
+
+class TestRollingWindowEquivalence:
+    """The device-resident RollingWindow path must agree exactly with the
+    plugin-interface path over identical window contents."""
+
+    def test_rolling_matches_interface(self):
+        world = sim.make_box_world(10.0, 8.0)
+        poses = np.asarray([[4.8, 3.9, 0.0], [5.0, 4.0, 0.05],
+                            [5.2, 4.1, -0.05]], np.float32)
+        pts, msk = [], []
+        for p in poses:
+            a, b, _ = make_scan(p, world)
+            pts.append(a)
+            msk.append(b)
+        qpts, qmask, qn = make_scan([5.05, 4.0, 0.01], world)
+        qpose = np.asarray([5.1, 4.02, 0.0], np.float32)
+
+        m = registry.create("ndt", CFG, range_max=15.0)
+        m.add_scans(poses, np.stack(pts), np.stack(msk))
+        ref = m.match_scan(qpts, qmask, qn, qpose)
+
+        # Same window via append into a depth-5 RollingWindow (2 empty slots).
+        w = matcher.make_window(5, 512)
+        for p, a, b in zip(poses, pts, msk):
+            w = matcher.window_append(w, jnp.asarray(p), jnp.asarray(a),
+                                      jnp.asarray(b))
+        unc, score, corr, cov = matcher.match_scan_rolling(
+            CFG, w, jnp.float32(15.0), jnp.asarray(qpts), jnp.asarray(qmask),
+            jnp.int32(qn), jnp.asarray(qpose))
+        np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(corr),
+                                   np.asarray(ref.correction), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(cov),
+                                   np.asarray(ref.covariance), rtol=1e-5)
+
+    def test_window_rolls_past_capacity(self):
+        w = matcher.make_window(3, 8)
+        for i in range(5):
+            w = matcher.window_append(
+                w, jnp.full(3, float(i)), jnp.zeros((8, 2)),
+                jnp.ones(8, bool))
+        np.testing.assert_array_equal(np.asarray(w.poses[:, 0]),
+                                      [2.0, 3.0, 4.0])
+        assert bool(np.asarray(w.mask).all())
