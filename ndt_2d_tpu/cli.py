@@ -127,7 +127,15 @@ def _run_session(args, localize: bool) -> int:
             print(f"scan {t}: pose={np.round(res.pose, 3) if res.pose is not None else None} "
                   f"score={res.matched_score:.3f}", file=sys.stderr)
 
-    stats = runtime.run_bag(mapper, bag, progress=progress, control=control)
+    if getattr(args, "trace_dir", None):
+        from ndt_2d_tpu.utils.profiling import device_trace
+        with device_trace(args.trace_dir):
+            stats = runtime.run_bag(mapper, bag, progress=progress,
+                                    control=control)
+        stats["trace_dir"] = args.trace_dir
+    else:
+        stats = runtime.run_bag(mapper, bag, progress=progress,
+                                control=control)
 
     if getattr(args, "map_out", None):
         mapper.configure(8, args.map_out)  # SAVE_TO_FILE
@@ -242,6 +250,9 @@ def main(argv=None) -> int:
                        help="loop-closure candidate source (default radius; "
                             "descriptor = drift-robust appearance search)")
         p.add_argument("--verbose", action="store_true")
+        p.add_argument("--trace-dir", default=None,
+                       help="capture a jax.profiler device trace of the "
+                            "session (view with xprof/TensorBoard)")
         # mapper params (ndt_mapper.cpp:59-103)
         p.add_argument("--resolution", type=float, default=None)
         p.add_argument("--minimum-travel-distance", type=float, default=None,
