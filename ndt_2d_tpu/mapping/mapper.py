@@ -300,21 +300,36 @@ class Mapper:
         dev_points = jnp.asarray(points, jnp.float32)
         dev_mask = jnp.asarray(mask)
 
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        fused = isinstance(self.local_matcher, NDTScanMatcher)
         if g.num_scans:
             # Rolling window of the last rolling_depth scans
             # (ndt_mapper.cpp:504-509): window-NDT build + scoring + matching
             # fused into a single device dispatch over the device-resident
-            # window, fetched with one device_get.
+            # window, fetched with one device_get.  Alternative matcher
+            # plugins go through the generic ScanMatcher surface instead
+            # (addScans + scoreScan + matchScan, ndt_mapper.cpp:504-515).
             window = self._sync_window()
             self._check_window_capacity()
             if self._range_max_dev is None:
                 self._range_max_dev = jnp.float32(self.range_max)
             with self.stats.timer.section("local_match"):
-                out = matcher_mod.match_scan_rolling(
-                    self.config.local_scan_matcher, window,
-                    self._range_max_dev, dev_points, dev_mask,
-                    jnp.int32(num_points),
-                    jnp.asarray(pose, jnp.float32))
+                if fused:
+                    out = matcher_mod.match_scan_rolling(
+                        self.config.local_scan_matcher, window,
+                        self._range_max_dev, dev_points, dev_mask,
+                        jnp.int32(num_points),
+                        jnp.asarray(pose, jnp.float32))
+                else:
+                    m = self.local_matcher
+                    m.add_scans(window.poses, window.points,
+                                window.point_mask, window.mask)
+                    pose32 = jnp.asarray(pose, jnp.float32)
+                    res = m.match_scan(dev_points, dev_mask,
+                                       jnp.int32(num_points), pose32)
+                    out = (m.score_points(dev_points, dev_mask,
+                                          jnp.int32(num_points), pose32),
+                           res.score, res.correction, res.covariance)
                 unc, score, corr, cov = jax.device_get(out)
             uncorrected = float(unc)
             matched = float(score)

@@ -32,3 +32,13 @@ def create(name: str, config: ScanMatcherConfig, range_max: float):
 register("ndt", NDTScanMatcher)
 # Alias matching the reference's pluginlib class path for config parity.
 register("ndt_2d::ScanMatcherNDT", NDTScanMatcher)
+
+
+def _correlative(config: ScanMatcherConfig, range_max: float):
+    from ndt_2d_tpu.matching.correlative import CorrelativeScanMatcher
+    return CorrelativeScanMatcher(config, range_max)
+
+
+# Alternative matcher implementation (the ndt_2d_karto-style swap the
+# reference's plugin architecture exists for, README.md:6-10).
+register("correlative", _correlative)
