@@ -103,9 +103,20 @@ def kld_resample(key, particles, weights, mask, kld_err, kld_z, bin_sizes,
     # Discretized (x, y, theta) bins; C-style truncation toward zero
     # (kd_tree.hpp:99-102 uses static_cast<int>).
     keys = jnp.trunc(samp / bin_sizes[None, :]).astype(jnp.int32)  # [M, 3]
-    same = jnp.all(keys[:, None, :] == keys[None, :, :], axis=-1)  # [M, M]
-    earlier = jnp.tril(same, k=-1).any(axis=1)
-    first = ~earlier
+    # First-occurrence-in-draw-order per bin, O(M log M): lexsort the keys
+    # so equal bins are contiguous, number the groups, take each group's
+    # minimum draw index, and mark the draws equal to it.  (Replaces the
+    # O(M^2) all-pairs comparison, which dominates the fused PF step at
+    # 5000 particles.)
+    order = jnp.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    ks = keys[order]                                               # [M, 3]
+    new_group = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(ks[1:] != ks[:-1], axis=-1)])
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1              # [M]
+    first_draw = jax.ops.segment_min(order, gid, num_segments=m_total)
+    first_sorted = order == first_draw[gid]
+    first = jnp.zeros(m_total, bool).at[order].set(first_sorted)
     k = jnp.cumsum(first.astype(jnp.int32))                        # [M] k(m)
 
     kf = k.astype(samp.dtype)

@@ -188,3 +188,46 @@ class TestNegativeWeightResampling:
             jnp.asarray([0.5, 0.5, 0.2671]), 50, n)
         frac_good = float((np.asarray(p)[:, 0] < 1.0).mean())
         assert frac_good > 0.9, f"good-cluster fraction {frac_good}"
+
+
+class TestSortedDedupEquivalence:
+    """The O(M log M) first-occurrence marking must match the quadratic
+    all-pairs definition exactly."""
+
+    def test_matches_all_pairs(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.filter.particle_filter import kld_resample
+        rng = np.random.default_rng(7)
+        m = 512
+        particles = jnp.asarray(
+            rng.normal(0, 1.0, (m, 3)).astype(np.float32))
+        weights = jnp.asarray(rng.random(m).astype(np.float32))
+        bins = jnp.asarray([0.5, 0.5, 0.2671], jnp.float32)
+        # run resample; independently recompute k(m) quadratically from the
+        # same draw sequence and check the stopping count agrees
+        key = jax.random.PRNGKey(5)
+        p, w, n = kld_resample(key, particles, weights, jnp.ones(m, bool),
+                               jnp.float32(0.01), jnp.float32(2.3), bins,
+                               50, m)
+        # reproduce the draw
+        wn = weights / weights.sum()
+        idx = jax.random.choice(key, m, shape=(m,), p=wn)
+        samp = np.asarray(particles[idx])
+        keys = np.trunc(samp / np.asarray(bins)).astype(np.int32)
+        seen, first = set(), []
+        for row in map(tuple, keys):
+            first.append(row not in seen)
+            seen.add(row)
+        k = np.cumsum(first)
+        kf = k.astype(float)
+        a = (kf - 1.0) / (2.0 * 0.01)
+        b = 2.0 / (9.0 * np.maximum(kf - 1.0, 1.0))
+        c = 1.0 - b + np.sqrt(b) * 2.3
+        mx = np.floor(a * c * c * c).astype(int)
+        mx = np.where(k > 1, mx, m)
+        mi = np.arange(1, m + 1)
+        done = (mi >= 50) & (mi >= mx)
+        expect = int(np.argmax(done) + 1) if done.any() else m
+        assert int(n) == expect
