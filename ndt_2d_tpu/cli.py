@@ -175,6 +175,41 @@ def cmd_configure(args, action: int) -> int:
     return 0 if out.get("ok") else 1
 
 
+def cmd_serve(args) -> int:
+    import signal
+    import threading
+
+    from ndt_2d_tpu.io import serialization
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.mapping.server import ScanServer
+
+    cfg = _mapper_config(args)
+    graph = None
+    if args.map:
+        graph = serialization.load_graph(args.map, cfg.max_points_per_scan,
+                                         cfg.use_barycenter)
+    mapper = Mapper(cfg, graph=graph)
+    server = ScanServer(mapper, args.socket, publish_dir=args.publish_dir,
+                        publish_png=args.publish_png)
+    print(json.dumps({"serving": args.socket,
+                      "publish_dir": args.publish_dir}), flush=True)
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    try:
+        stop.wait()
+    finally:
+        server.close()
+    return 0
+
+
+def cmd_feed(args) -> int:
+    from ndt_2d_tpu.mapping.server import stream_bag
+    last = stream_bag(args.bag, args.socket, realtime_hz=args.hz)
+    print(json.dumps(last))
+    return 0 if last.get("ok") else 1
+
+
 def cmd_viz(args) -> int:
     """Render a saved map (and optional occupancy grid) to PNG — the
     offline analog of the reference's RViz graph/map displays."""
@@ -298,6 +333,28 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="inspect a saved map")
     p.add_argument("--map", required=True)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("serve", help="live scan server (the node analog): "
+                                     "scans in over a socket, pose out, "
+                                     "4 Hz latched map artifacts")
+    p.add_argument("--socket", required=True, help="UNIX socket path")
+    p.add_argument("--map", default=None, help="map to load at startup")
+    p.add_argument("--publish-dir", default=None,
+                   help="directory for latched map.npz/state.json artifacts")
+    p.add_argument("--publish-png", action="store_true")
+    p.add_argument("--particle-filter", action="store_true")
+    p.add_argument("--no-mapping", action="store_true")
+    _add_matcher_args(p, "local_scan_matcher")
+    _add_matcher_args(p, "global_scan_matcher")
+    p.add_argument("--max-range", type=float, default=None)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("feed", help="stream a bag into a running server")
+    p.add_argument("--bag", required=True)
+    p.add_argument("--socket", required=True)
+    p.add_argument("--hz", type=float, default=0.0,
+                   help="pace the stream (0 = as fast as possible)")
+    p.set_defaults(fn=cmd_feed)
 
     p = sub.add_parser("viz", help="render a saved map to PNG")
     p.add_argument("--map", required=True)

@@ -1,0 +1,220 @@
+"""Live streaming runtime: the reference node's topic surface over sockets.
+
+The reference is a live ROS node: scans stream in over DDS, the pose comes
+back as a map->odom TF broadcast, the map publishes at 4 Hz on a latched
+topic, and a Configure service mutates state (src/ndt_mapper.cpp:118-142,
+:687-744).  This module provides the same surface without ROS:
+
+* ``ScanServer`` accepts newline-delimited JSON scan messages over a UNIX
+  socket and replies with the estimated pose + match stats per scan —
+  the laserCallback + TF-broadcast path.
+* a publisher thread re-renders the occupancy grid and graph snapshot on
+  the reference's cadence (default 4 Hz, ndt_mapper.cpp:742) whenever the
+  map changed, writing latched artifacts (npz + optional PNG) to a
+  directory — the latched ``map``/``graph`` topics.
+* the Configure control channel (``runtime.ControlServer`` semantics) rides
+  the same connection: a message with an ``action`` field is a Configure
+  call.
+
+Wire format (one JSON object per line):
+  scan:      {"ranges": [...], "angle_min": f, "angle_increment": f,
+              "time_increment": f, "range_max": f, "odom": [x, y, th],
+              "odom_end": [x, y, th]?}
+  configure: {"action": 1|2|4|8, "filename": "..."}
+  initial:   {"initial_pose": [x, y, th], "covariance": [9 floats]?,
+              "odom": [x, y, th]}
+Replies:     {"ok": true, "accepted": bool, "pose": [x, y, th],
+              "map_to_odom": [x, y, th], "score": f} (or {"ok": false,
+              "error": "..."}).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import socket
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ndt_2d_tpu.mapping.mapper import Mapper
+from ndt_2d_tpu.utils.sim import LaserScanMsg
+
+logger = logging.getLogger("ndt_2d_tpu.server")
+
+
+class MapPublisher:
+    """4 Hz latched map/graph artifact publisher (mapPublishThread,
+    src/ndt_mapper.cpp:687-744)."""
+
+    def __init__(self, mapper: Mapper, lock: threading.Lock, out_dir: str,
+                 period: float = 0.25, png: bool = False):
+        self.mapper = mapper
+        self.lock = lock
+        self.out_dir = out_dir
+        self.period = period
+        self.png = png
+        self._stop = False
+        os.makedirs(out_dir, exist_ok=True)
+        self.publish_count = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop:
+            if self.mapper.map_update_available:
+                try:
+                    with self.lock:
+                        grid = self.mapper.render_map()
+                        snap = self.mapper.graph_snapshot()
+                        tf = self.mapper.map_to_odom()
+                    # savez appends .npz to the filename, so the tmp name
+                    # must already end with it for os.replace to find it.
+                    tmp = os.path.join(self.out_dir, ".map.tmp.npz")
+                    np.savez_compressed(tmp, data=grid.data,
+                                        origin=grid.origin,
+                                        resolution=grid.resolution)
+                    os.replace(tmp, os.path.join(self.out_dir, "map.npz"))
+                    with open(os.path.join(self.out_dir, "state.json"),
+                              "w") as f:
+                        json.dump({
+                            "map_to_odom": np.asarray(tf).tolist(),
+                            "nodes": len(snap["nodes"]),
+                            "edges": len(snap["edges"]),
+                            "stamp": time.time(),
+                        }, f)
+                    if self.png:
+                        from ndt_2d_tpu.utils import viz
+                        viz.save_graph_png(
+                            self.mapper.graph,
+                            os.path.join(self.out_dir, "map.png"), grid=grid)
+                    self.publish_count += 1
+                except Exception:  # pragma: no cover
+                    logger.exception("map publish failed")
+            time.sleep(self.period)
+
+    def close(self):
+        self._stop = True
+        self._thread.join(timeout=2.0)
+
+
+class ScanServer:
+    """Newline-JSON scan/configure server over a UNIX socket."""
+
+    def __init__(self, mapper: Mapper, path: str,
+                 publish_dir: Optional[str] = None, publish_png: bool = False):
+        self.mapper = mapper
+        self.path = path
+        self.lock = threading.Lock()
+        if os.path.exists(path):
+            os.unlink(path)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.bind(path)
+        self._sock.listen(8)
+        self._stop = False
+        self.publisher = (MapPublisher(mapper, self.lock, publish_dir,
+                                       png=publish_png)
+                          if publish_dir else None)
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def _handle(self, req: dict) -> dict:
+        if "action" in req:  # Configure service (srv/Configure.srv)
+            with self.lock:
+                ok = self.mapper.configure(int(req["action"]),
+                                           req.get("filename", ""))
+            return {"ok": bool(ok)}
+        if "initial_pose" in req:  # initialpose topic (poseCallback)
+            cov = np.asarray(req.get("covariance",
+                                     [0.25, 0.25, 0.06]), np.float64)
+            if cov.size == 9:
+                cov = cov.reshape(3, 3)
+            with self.lock:
+                ok = self.mapper.set_initial_pose(
+                    np.asarray(req["initial_pose"], np.float64), cov,
+                    np.asarray(req["odom"], np.float64))
+            return {"ok": bool(ok)}
+        # scan message (laserCallback)
+        msg = LaserScanMsg(
+            ranges=np.asarray(req["ranges"], np.float32),
+            angle_min=float(req["angle_min"]),
+            angle_increment=float(req["angle_increment"]),
+            time_increment=float(req.get("time_increment", 0.0)),
+            range_max=float(req["range_max"]))
+        odom_end = (np.asarray(req["odom_end"], np.float64)
+                    if req.get("odom_end") is not None else None)
+        with self.lock:
+            res = self.mapper.process_scan(
+                msg, np.asarray(req["odom"], np.float64), odom_end)
+            tf = self.mapper.map_to_odom()
+        return {
+            "ok": True,
+            "accepted": bool(res.accepted),
+            "pose": (np.asarray(res.pose).tolist()
+                     if res.pose is not None else None),
+            "map_to_odom": np.asarray(tf).tolist(),
+            "score": float(res.matched_score),
+        }
+
+    def _client(self, conn):
+        with conn:
+            f = conn.makefile("rwb")
+            for line in f:
+                try:
+                    reply = self._handle(json.loads(line))
+                except Exception as e:
+                    reply = {"ok": False, "error": str(e)}
+                f.write(json.dumps(reply).encode() + b"\n")
+                f.flush()
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._client, args=(conn,),
+                             daemon=True).start()
+
+    def close(self):
+        self._stop = True
+        self._sock.close()
+        if self.publisher:
+            self.publisher.close()
+        if os.path.exists(self.path):
+            os.unlink(self.path)
+
+
+def stream_bag(path: str, sock_path: str, realtime_hz: float = 0.0) -> dict:
+    """Feed a recorded bag to a running ScanServer (the live-sensor client).
+
+    Returns the last reply.  ``realtime_hz`` > 0 paces the stream.
+    """
+    from ndt_2d_tpu.io.bag import load_bag
+    bag = load_bag(path)
+    last = {}
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.connect(sock_path)
+        f = s.makefile("rwb")
+        for t, (msg, odom) in enumerate(bag):
+            req = {
+                # Python json emits NaN literals for invalid beams; the
+                # server's json.loads accepts them (both are the module's
+                # defaults).
+                "ranges": msg.ranges.astype(float).tolist(),
+                "angle_min": msg.angle_min,
+                "angle_increment": msg.angle_increment,
+                "time_increment": msg.time_increment,
+                "range_max": msg.range_max,
+                "odom": odom.tolist(),
+            }
+            f.write(json.dumps(req).encode() + b"\n")
+            f.flush()
+            last = json.loads(f.readline())
+            if realtime_hz > 0:
+                time.sleep(1.0 / realtime_hz)
+    return last
