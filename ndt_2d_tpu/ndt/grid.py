@@ -65,15 +65,21 @@ class NDTGrid(NamedTuple):
         return self.mean.shape[0]
 
 
+def cell_ij(origin, cell_size, points):
+    """Raw (ix, iy) floor binning for [..., 2] world points."""
+    rel = (points - origin) / cell_size
+    ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    return ix, iy
+
+
 def cell_index(origin, cell_size, width, height, points):
     """Flat cell index + validity for [..., 2] world points.
 
     Matches NDT::getIndex (src/ndt_model.cpp:203-218): floor binning from the
     origin; anything left/below the origin or beyond the extent is invalid.
     """
-    rel = (points - origin) / cell_size
-    ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
-    iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    ix, iy = cell_ij(origin, cell_size, points)
     valid = (ix >= 0) & (iy >= 0) & (ix < width) & (iy < height)
     flat = jnp.clip(iy, 0, height - 1) * width + jnp.clip(ix, 0, width - 1)
     return flat, valid
@@ -98,6 +104,18 @@ def build_ndt(points, mask, origin, cell_size, width: int, height: int) -> NDTGr
 
     flat, valid = cell_index(origin, cell_size, width, height, points)
     valid = valid & mask
+    return build_ndt_binned(points, valid, flat, origin, cell_size,
+                            num_cells)
+
+
+def build_ndt_binned(points, valid, flat, origin, cell_size,
+                     num_cells: int) -> NDTGrid:
+    """Build cell statistics from precomputed (flat index, validity).
+
+    Split out of build_ndt so sharded builders (parallel.ndt_blocks) can
+    compute GLOBAL indices once and offset into their block — bitwise
+    identical binning to the dense grid at stripe boundaries.
+    """
     # Invalid points fall into a scratch bin that is sliced away.
     seg = jnp.where(valid, flat, num_cells)
 
@@ -180,18 +198,16 @@ def packed_cell_table(grid: NDTGrid):
                       grid.information[:, 2], scorable, pad, pad], axis=-1)
 
 
-def score_points(grid: NDTGrid, points, mask, width: int, height: int):
-    """Per-point Gaussian likelihood scores for [..., 2] world points.
+def score_at_cells(mean_table, info_table, count_table, points, valid, flat):
+    """Gaussian scores for points with precomputed cell bindings.
 
-    exp(-0.5 q^T Lambda q) with q = p - mean (src/ndt_model.cpp:105-116);
-    0 for out-of-grid points, masked points, or cells with < 5 points.
+    Shared by the dense path (score_points) and the sharded-map path
+    (parallel.ndt_blocks), which bins against global indices.
     """
-    flat, valid = cell_index(grid.origin, grid.cell_size, width, height, points)
-    valid = valid & mask
     safe = jnp.where(valid, flat, 0)
-    mean = grid.mean[safe]
-    info = grid.information[safe]
-    scorable = grid.count[safe] >= 5
+    mean = mean_table[safe]
+    info = info_table[safe]
+    scorable = count_table[safe] >= 5
     q = points - mean
     qx, qy = q[..., 0], q[..., 1]
     e = -0.5 * (info[..., 0] * qx * qx + 2.0 * info[..., 1] * qx * qy
@@ -202,6 +218,17 @@ def score_points(grid: NDTGrid, points, mask, width: int, height: int):
     # matcher-score EWMA).
     s = jnp.exp(jnp.minimum(e, 0.0))
     return jnp.where(valid & scorable, s, 0.0)
+
+
+def score_points(grid: NDTGrid, points, mask, width: int, height: int):
+    """Per-point Gaussian likelihood scores for [..., 2] world points.
+
+    exp(-0.5 q^T Lambda q) with q = p - mean (src/ndt_model.cpp:105-116);
+    0 for out-of-grid points, masked points, or cells with < 5 points.
+    """
+    flat, valid = cell_index(grid.origin, grid.cell_size, width, height, points)
+    return score_at_cells(grid.mean, grid.information, grid.count, points,
+                          valid & mask, flat)
 
 
 def likelihood(grid: NDTGrid, points, mask, width: int, height: int):
