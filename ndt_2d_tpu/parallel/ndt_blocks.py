@@ -113,6 +113,59 @@ def score_points_sharded(mesh, grid: ndt_grid.NDTGrid, points, mask,
                   grid.cell_size, points, mask)
 
 
+def score_particles_sharded_map(config: ScanMatcherConfig, mesh,
+                                grid: ndt_grid.NDTGrid, points, point_mask,
+                                num_points, particle_poses,
+                                space_axis: str = SPACE_AXIS,
+                                batch_axis: str = "batch"):
+    """Particle measurement over BOTH mesh axes: particles sharded over
+    ``batch``, map stripes over ``space``.
+
+    The district-localization kernel: every device scores its particle shard
+    against its map stripe; one psum over ``space`` completes each
+    particle's score.  Returns [N] mean negative scores (the PF weight
+    convention, particle_filter.cpp:84-88), sharded over ``batch``.
+
+    ``particle_poses`` [N, 3] with N divisible by the batch shard count.
+    """
+    n_batch = mesh.shape[batch_axis]
+    if particle_poses.shape[0] % n_batch:
+        raise ValueError(
+            f"particle count {particle_poses.shape[0]} must divide the "
+            f"{batch_axis!r} shard count {n_batch}")
+    W, H = config.grid_cells_x, config.grid_cells_y
+    h_loc = _stripe_params(H, mesh.shape[space_axis])
+    B = config.laser_max_beams
+    spts, smask, used = ndt_matcher.subsample(points, point_mask, num_points,
+                                              B)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(space_axis), P(space_axis), P(space_axis),
+                  P(), P(), P(), P(), P(batch_axis)),
+        out_specs=P(batch_axis), check_vma=False)
+    def _measure(mean, info, count, org, cs, sp, sm, poses):
+        i = jax.lax.axis_index(space_axis)
+        row0 = i * h_loc
+        c, s = jnp.cos(poses[:, 2])[:, None], jnp.sin(poses[:, 2])[:, None]
+        px, py = sp[:, 0][None, :], sp[:, 1][None, :]
+        wx = c * px - s * py + poses[:, 0:1]              # [n_loc, B]
+        wy = s * px + c * py + poses[:, 1:2]
+        pts = jnp.stack([wx, wy], axis=-1)
+        ix, iy = ndt_grid.cell_ij(org, cs, pts)
+        valid = (sm[None, :] & (ix >= 0) & (ix < W)
+                 & (iy >= row0) & (iy < row0 + h_loc))
+        flat = (jnp.clip(iy - row0, 0, h_loc - 1) * W
+                + jnp.clip(ix, 0, W - 1))
+        sc = ndt_grid.score_at_cells(mean, info, count, pts, valid, flat)
+        partial = -jnp.sum(sc, axis=-1)                   # [n_loc]
+        total = jax.lax.psum(partial, space_axis)
+        return total / jnp.maximum(used, 1).astype(sp.dtype)
+
+    return _measure(grid.mean, grid.information, grid.count, grid.origin,
+                    grid.cell_size, spts, smask, particle_poses)
+
+
 def match_scan_sharded_map(config: ScanMatcherConfig, mesh,
                            grid: ndt_grid.NDTGrid, points, point_mask,
                            num_points, pose, axis: str = SPACE_AXIS

@@ -89,3 +89,43 @@ class TestShardedNDT:
         np.testing.assert_allclose(np.asarray(sharded.covariance),
                                    np.asarray(dense.covariance), rtol=1e-4,
                                    atol=1e-6)
+
+
+class TestParticleTimesMapSharding:
+    """Particles over 'batch' x map stripes over 'space' in one shard_map."""
+
+    def test_matches_dense_batch_scoring(self):
+        from ndt_2d_tpu.matching import matcher as matcher_mod
+
+        mesh = mesh_mod.make_mesh(8, shape=(4, 2))
+        poses, points, pmask, wmask, world = _window()
+        origin = matcher.window_origin(CFG, poses, wmask,
+                                       jnp.float32(RANGE_MAX))
+        dense = ndt_grid.build_ndt_from_scans(
+            poses, points, pmask & wmask[:, None], origin,
+            CFG.ndt_resolution, CFG.grid_cells_x, CFG.grid_cells_y)
+        sharded = ndt_blocks.build_ndt_sharded(
+            mesh, poses, points, pmask, wmask, origin, CFG.ndt_resolution,
+            CFG.grid_cells_x, CFG.grid_cells_y, axis="space")
+
+        msg = sim.scan_at_pose(world, [5.0, 4.0, 0.0], n_beams=240,
+                               range_max=RANGE_MAX)
+        qp, qm = sim.project_scan(msg, 512)
+        nq = jnp.int32(int(qm.sum()))
+        rng = np.random.default_rng(3)
+        particles = jnp.asarray(
+            (np.asarray([5.0, 4.0, 0.0]) +
+             rng.normal(0, [0.3, 0.3, 0.05], (16, 3))).astype(np.float32))
+
+        got = ndt_blocks.score_particles_sharded_map(
+            CFG, mesh, sharded, jnp.asarray(qp), jnp.asarray(qm), nq,
+            particles)
+        want = matcher_mod.score_points_batch(
+            CFG, dense, jnp.asarray(qp), jnp.asarray(qm), nq, particles)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        # Weights are meaningful relatively: all nonpositive, not all equal
+        # (NDT wall Gaussians are ~1 cm thin, so absolute values are tiny
+        # for offset particles — exactly like the dense path).
+        got = np.asarray(got)
+        assert (got <= 0).all() and got.min() < got.mean()
