@@ -109,6 +109,14 @@ class SolverConfig:
     max_iterations: int = 100
     # Use the dense normal-equation path while 3*N <= this; otherwise PCG.
     dense_size_limit: int = 3072
+    # Robust loss applied to the constraints in solve()'s robust_mask
+    # (switchable/loop-closure edges).  The reference stores the switchable
+    # flag but never robustifies (ceres_solver.cpp:159-166).  "huber"
+    # down-weights suspect loop closures; "geman_mcclure" (redescending)
+    # effectively switches gross outliers off.  "none" = reference behavior
+    # (the default, for parity).  huber_delta is the loss scale for both.
+    robust_loss: str = "none"
+    huber_delta: float = 1.0
     cg_max_iterations: int = 250
     cg_tolerance: float = 1e-6
     lm_lambda_init: float = 1e-6

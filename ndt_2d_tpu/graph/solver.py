@@ -89,6 +89,54 @@ def _cost(poses, begin, end, transform, information, cmask):
     return jnp.sum(jnp.where(cmask, w, 0.0))
 
 
+def robust_weights(config: SolverConfig, poses, begin, end, transform,
+                   information, robust_mask):
+    """Per-constraint IRLS weights for the Huber loss.
+
+    ``robust_mask`` selects which constraints are robustified (loop
+    closures; the reference stores ``switchable`` for exactly this purpose
+    but never acts on it — constraint.hpp:46, ceres_solver.cpp:159-166).
+    With s = sqrt(r^T L r): w = 1 for s <= delta, delta/s beyond — the
+    standard Gauss-Newton reweighting whose fixed point minimizes the Huber
+    objective.  Returns [C] weights (all-ones when the loss is "none").
+    """
+    if config.robust_loss == "none":
+        return jnp.ones(begin.shape[0], poses.dtype)
+    r = residuals(poses, begin, end, transform)
+    s2 = jnp.einsum("ci,cij,cj->c", r, information, r)
+    delta = jnp.asarray(config.huber_delta, poses.dtype)
+    if config.robust_loss == "huber":
+        s = jnp.sqrt(jnp.maximum(s2, 1e-20))
+        w = jnp.where(s > delta, delta / s, 1.0)
+    elif config.robust_loss == "geman_mcclure":
+        # Redescending: w -> 0 quadratically for gross outliers, so a false
+        # loop closure is effectively switched OFF — the behavior the
+        # switchable-constraints literature aims for.
+        t = 1.0 + s2 / (delta * delta)
+        w = 1.0 / (t * t)
+    else:
+        raise ValueError(f"unknown robust_loss {config.robust_loss!r}")
+    return jnp.where(robust_mask, w, 1.0)
+
+
+def _robust_cost(config: SolverConfig, poses, begin, end, transform,
+                 information, cmask, robust_mask):
+    """Huber objective: rho(s) = s^2 for s <= delta, delta(2s - delta)
+    beyond (s is the information-weighted residual norm)."""
+    r = residuals(poses, begin, end, transform)
+    s2 = jnp.einsum("ci,cij,cj->c", r, information, r)
+    if config.robust_loss == "none":
+        return jnp.sum(jnp.where(cmask, s2, 0.0))
+    delta = jnp.asarray(config.huber_delta, poses.dtype)
+    if config.robust_loss == "huber":
+        s = jnp.sqrt(jnp.maximum(s2, 1e-20))
+        rho = jnp.where(s > delta, delta * (2.0 * s - delta), s2)
+    else:  # geman_mcclure (validated in robust_weights)
+        rho = s2 / (1.0 + s2 / (delta * delta))
+    rho = jnp.where(robust_mask, rho, s2)
+    return jnp.sum(jnp.where(cmask, rho, 0.0))
+
+
 def _normal_blocks(poses, begin, end, transform, information, cmask):
     """Per-constraint weighted normal-equation blocks.
 
@@ -197,7 +245,7 @@ def _pcg_solve(n, begin, end, baa, bab, bbb, g, diag, lam, free_mask,
 @functools.partial(jax.jit, static_argnames=("config", "use_dense"))
 def solve(config: SolverConfig, poses, begin, end, transform, information,
           constraint_mask, node_mask, fixed_index=0,
-          use_dense: bool = True) -> SolveResult:
+          use_dense: bool = True, robust_mask=None) -> SolveResult:
     """Optimize the pose graph with Levenberg-Marquardt.
 
     Args:
@@ -208,19 +256,27 @@ def solve(config: SolverConfig, poses, begin, end, transform, information,
       fixed_index: gauge-fixed node (reference fixes scans[0],
         src/ceres_solver.cpp:88-92).
       use_dense: static choice of dense Cholesky vs PCG path.
+      robust_mask: [C] bool — constraints under the configured robust loss
+        (typically the switchable/loop-closure edges); None = none.
     """
     n = poses.shape[0]
     dtype = poses.dtype
     begin = jnp.clip(begin, 0, n - 1)
     end = jnp.clip(end, 0, n - 1)
     free_mask = node_mask & (jnp.arange(n) != fixed_index)
+    if robust_mask is None:
+        robust_mask = jnp.zeros(begin.shape[0], bool)
 
-    cost0 = _cost(poses, begin, end, transform, information, constraint_mask)
+    cost0 = _robust_cost(config, poses, begin, end, transform, information,
+                         constraint_mask, robust_mask)
 
     def lm_step(state):
         poses, lam, cost, it, stall = state
+        rw = robust_weights(config, poses, begin, end, transform,
+                            information, robust_mask)
+        info_eff = information * rw[:, None, None]
         baa, bab, bbb, ga, gb = _normal_blocks(
-            poses, begin, end, transform, information, constraint_mask)
+            poses, begin, end, transform, info_eff, constraint_mask)
         g, diag = _gather_gradient_and_diag(n, begin, end, baa, bab, bbb,
                                             ga, gb)
         if use_dense:
@@ -231,8 +287,8 @@ def solve(config: SolverConfig, poses, begin, end, transform, information,
                                free_mask, config.cg_max_iterations,
                                jnp.asarray(config.cg_tolerance, dtype))
         new_poses = poses + delta
-        new_cost = _cost(new_poses, begin, end, transform, information,
-                         constraint_mask)
+        new_cost = _robust_cost(config, new_poses, begin, end, transform,
+                                information, constraint_mask, robust_mask)
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
         lam = jnp.where(accept, lam * config.lm_lambda_down,
@@ -278,7 +334,8 @@ def solve_graph(graph, config: SolverConfig, fixed_index: int = 0):
         jnp.ones(graph.num_constraints, bool),
         jnp.ones(n, bool),
         fixed_index=fixed_index,
-        use_dense=use_dense)
+        use_dense=use_dense,
+        robust_mask=jnp.asarray(graph.constraint_switchable))
     if not bool(res.success):
         return False
     graph.set_poses(np.asarray(res.poses, np.float64))

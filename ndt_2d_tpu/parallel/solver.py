@@ -51,7 +51,8 @@ def pad_constraints(begin, end, transform, information, cmask, n_shards: int):
 
 def solve_multichip(config: SolverConfig, mesh, poses, begin, end, transform,
                     information, constraint_mask, node_mask, fixed_index=0,
-                    axis: str = BATCH_AXIS) -> base.SolveResult:
+                    axis: str = BATCH_AXIS,
+                    robust_mask=None) -> base.SolveResult:
     """Levenberg-Marquardt with constraint-sharded PCG normal equations."""
     n = poses.shape[0]
     dtype = poses.dtype
@@ -63,26 +64,29 @@ def solve_multichip(config: SolverConfig, mesh, poses, begin, end, transform,
     begin = jnp.clip(jnp.asarray(begin), 0, n - 1)
     end = jnp.clip(jnp.asarray(end), 0, n - 1)
     free_mask = node_mask & (jnp.arange(n) != fixed_index)
+    if robust_mask is None:
+        robust_mask = jnp.zeros(begin.shape[0], bool)
 
     shard = P(axis)
     rep = P()
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, shard, shard, shard, shard, shard, rep),
+        in_specs=(rep, shard, shard, shard, shard, shard, rep, shard),
         out_specs=(rep, rep, rep, rep), check_vma=False)
-    def _solve(poses0, b, e, t, info, cm, fm):
+    def _solve(poses0, b, e, t, info, cm, fm, rm):
         eye = jnp.eye(3, dtype=dtype)
         fmask = fm[:, None].astype(dtype)
 
         def cost_fn(p):
-            local = base._cost(p, b, e, t, info, cm)
+            local = base._robust_cost(config, p, b, e, t, info, cm, rm)
             return jax.lax.psum(local, axis)
 
         def lm_step(state):
             poses_c, lam, cost, it, stall = state
+            rw = base.robust_weights(config, poses_c, b, e, t, info, rm)
             baa, bab, bbb, ga, gb = base._normal_blocks(
-                poses_c, b, e, t, info, cm)
+                poses_c, b, e, t, info * rw[:, None, None], cm)
             g, diag = base._gather_gradient_and_diag(n, b, e, baa, bab, bbb,
                                                      ga, gb)
             g = jax.lax.psum(g, axis)
@@ -163,6 +167,7 @@ def solve_multichip(config: SolverConfig, mesh, poses, begin, end, transform,
         return final, ok, cost, iters
 
     poses_out, ok, cost, iters = _solve(
-        poses, begin, end, transform, information, constraint_mask, free_mask)
+        poses, begin, end, transform, information, constraint_mask, free_mask,
+        jnp.asarray(robust_mask))
     return base.SolveResult(poses=poses_out, success=ok, cost=cost,
                             iterations=iters)

@@ -232,3 +232,78 @@ class TestLargeGraphPCG:
         assert bool(res.success)
         err = np.abs(np.asarray(res.poses)[:, :2] - truth[:, :2]).max()
         assert err < 0.02, f"max node error {err}"
+
+
+class TestRobustLoss:
+    """Huber-robustified loop closures (the switchable flag made real —
+    the reference stores it but optimizes plain squared loss,
+    ceres_solver.cpp:159-166)."""
+
+    def _graph_with_false_closure(self):
+        g, truth = _chain_with_loop(n=12, drift=0.02, seed=5)
+        # an outright WRONG loop closure: claims node 3 sits on node 8
+        info = np.linalg.inv(np.diag([0.01, 0.01, 0.005]))
+        g.add_constraint(3, 8, [0.0, 0.0, 0.0], info, switchable=True)
+        return g, truth
+
+    def test_plain_loss_distorted_by_false_closure(self):
+        g, truth = self._graph_with_false_closure()
+        assert solver.solve_graph(g, SolverConfig())
+        err = np.abs(g.poses[:, :2] - truth[:, :2]).max()
+        assert err > 0.3, f"expected distortion, got {err}"
+
+    def test_huber_downweights_false_closure(self):
+        g, truth = self._graph_with_false_closure()
+        cfg = SolverConfig(robust_loss="huber", huber_delta=1.0)
+        assert solver.solve_graph(g, cfg)
+        err = np.abs(g.poses[:, :2] - truth[:, :2]).max()
+        # Huber only down-weights (w = delta/s), so a residual pull remains;
+        # it must still clearly beat the plain squared loss.
+        assert err < 0.25, f"huber distortion {err}"
+
+    def test_geman_mcclure_rejects_false_closure(self):
+        g, truth = self._graph_with_false_closure()
+        cfg = SolverConfig(robust_loss="geman_mcclure", huber_delta=1.0)
+        assert solver.solve_graph(g, cfg)
+        err = np.abs(g.poses[:, :2] - truth[:, :2]).max()
+        assert err < 0.05, f"redescending loss failed: {err}"
+
+    def test_huber_keeps_true_closure_accuracy(self):
+        # With only honest constraints, huber must not degrade recovery.
+        g, truth = _chain_with_loop(n=12, drift=0.05)
+        cfg = SolverConfig(robust_loss="huber", huber_delta=1.0)
+        assert solver.solve_graph(g, cfg)
+        assert np.abs(g.poses - truth).max() < 5e-3
+
+    def test_multichip_huber_matches_single(self):
+        from ndt_2d_tpu.parallel import mesh as mesh_mod
+        from ndt_2d_tpu.parallel import solver as psolver
+
+        g, truth = self._graph_with_false_closure()
+        cfg = SolverConfig(robust_loss="geman_mcclure", huber_delta=1.0)
+        single = solver.solve(
+            cfg,
+            jnp.asarray(g.poses, jnp.float32),
+            jnp.asarray(g.constraint_begin),
+            jnp.asarray(g.constraint_end),
+            jnp.asarray(g.constraint_transform, jnp.float32),
+            jnp.asarray(g.constraint_information, jnp.float32),
+            jnp.ones(g.num_constraints, bool),
+            jnp.ones(g.num_scans, bool),
+            robust_mask=jnp.asarray(g.constraint_switchable))
+        mesh = mesh_mod.make_mesh(8, shape=(1, 8))
+        b, e, t, i_, cm = psolver.pad_constraints(
+            np.asarray(g.constraint_begin), np.asarray(g.constraint_end),
+            np.asarray(g.constraint_transform, np.float32),
+            np.asarray(g.constraint_information, np.float32),
+            np.ones(g.num_constraints, bool), 8)
+        rm = np.zeros(b.shape[0], bool)
+        rm[:g.num_constraints] = np.asarray(g.constraint_switchable)
+        multi = psolver.solve_multichip(
+            cfg, mesh, jnp.asarray(g.poses, jnp.float32), b, e, t, i_, cm,
+            jnp.ones(g.num_scans, bool), robust_mask=jnp.asarray(rm))
+        assert bool(single.success) and bool(multi.success)
+        np.testing.assert_allclose(np.asarray(multi.poses),
+                                   np.asarray(single.poses), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(multi.poses)[:, :2],
+                                   truth[:, :2], atol=5e-2)
