@@ -109,14 +109,18 @@ def _run_session(args, localize: bool) -> int:
                                          cfg.use_barycenter)
     if localize:
         cfg = dataclasses.replace(cfg, enable_mapping=False)
-    mapper = Mapper(cfg, graph=graph)
+    if getattr(args, "resume", None):
+        mapper = serialization.load_session(args.resume, cfg)
+    else:
+        mapper = Mapper(cfg, graph=graph)
 
     control = None
     if args.socket:
         control = runtime.ControlServer(mapper, args.socket)
 
-    if localize or graph is not None:
+    if (localize or graph is not None) and not getattr(args, "resume", None):
         # Seed localization at the bag's first true/odometric pose.
+        # (A resumed session already carries its pose estimate.)
         init = (metrics.relative_to_first(bag.truth)[0]
                 if bag.truth is not None else np.zeros(3))
         mapper.set_initial_pose(init, np.diag([0.25, 0.25, 0.06]),
@@ -140,6 +144,9 @@ def _run_session(args, localize: bool) -> int:
     if getattr(args, "map_out", None):
         mapper.configure(8, args.map_out)  # SAVE_TO_FILE
         stats["map_out"] = args.map_out
+    if getattr(args, "session_out", None):
+        serialization.save_session(mapper, args.session_out)
+        stats["session_out"] = args.session_out
     if getattr(args, "grid_out", None):
         grid = mapper.render_map()
         np.savez_compressed(args.grid_out, data=grid.data, origin=grid.origin,
@@ -271,6 +278,12 @@ def main(argv=None) -> int:
         p.add_argument("--map", default=None,
                        help="existing map to load (resume/localize)")
         p.add_argument("--map-out", default=None)
+        p.add_argument("--session-out", default=None,
+                       help="full session checkpoint (resume exactly, no "
+                            "re-localization; beyond the reference's "
+                            "map-only save)")
+        p.add_argument("--resume", default=None,
+                       help="resume from a --session-out checkpoint")
         p.add_argument("--grid-out", default=None,
                        help="occupancy grid npz output")
         p.add_argument("--viz-out", default=None,

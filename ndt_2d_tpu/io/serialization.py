@@ -60,3 +60,75 @@ def load_graph(filename: str, max_points_per_scan: int,
                 bool(data["constraint_switchable"][j]))
     graph.use_barycenter = use_barycenter
     return graph
+
+
+def save_session(mapper, filename: str) -> None:
+    """Checkpoint a FULL mapper session (beyond the reference's map-only
+    save): graph + runtime estimator state + particle cloud, so a session
+    resumes exactly where it stopped — no re-localization required.
+
+    The reference's only checkpoint is the map file, which loses the pose
+    estimate and requires an ``initialpose`` after load
+    (src/ndt_mapper.cpp:114, README.md:50-52).
+    """
+    g = mapper.graph
+    extra = {}
+    if mapper.filter is not None:
+        f = mapper.filter
+        extra.update(
+            pf_particles=np.asarray(f.particles),
+            pf_weights=np.asarray(f.weights),
+            pf_n_active=np.int32(f.n_active),
+            pf_key=np.asarray(f._key),
+        )
+    np.savez_compressed(
+        filename,
+        version=np.int32(FORMAT_VERSION),
+        session=np.bool_(True),
+        use_barycenter=np.bool_(g.use_barycenter),
+        poses=g.poses,
+        points=g.points,
+        point_mask=g.point_mask,
+        constraint_begin=g.constraint_begin,
+        constraint_end=g.constraint_end,
+        constraint_transform=g.constraint_transform,
+        constraint_information=g.constraint_information,
+        constraint_switchable=g.constraint_switchable,
+        prev_odom_pose=mapper.prev_odom_pose,
+        prev_robot_pose=mapper.prev_robot_pose,
+        odom_initialized=np.bool_(mapper.prev_odom_pose_is_initialized),
+        typical_matcher_response=np.float64(mapper.typical_matcher_response),
+        global_scans_processed=np.int64(mapper.global_scans_processed),
+        optimization_last=np.int64(mapper.optimization_last),
+        enable_mapping=np.bool_(mapper.enable_mapping),
+        **extra,
+    )
+
+
+def load_session(filename: str, config, seed: int = 0):
+    """Restore a mapper from a save_session checkpoint."""
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    graph = load_graph(filename, config.max_points_per_scan,
+                       config.use_barycenter)
+    mapper = Mapper(config, graph=graph, seed=seed)
+    with np.load(filename) as data:
+        if "session" not in data.files or not bool(data["session"]):
+            raise ValueError(f"{filename} is a map file, not a session "
+                             "checkpoint (use load_graph)")
+        mapper.prev_odom_pose = np.asarray(data["prev_odom_pose"])
+        mapper.prev_robot_pose = np.asarray(data["prev_robot_pose"])
+        mapper.prev_odom_pose_is_initialized = bool(data["odom_initialized"])
+        mapper.typical_matcher_response = float(
+            data["typical_matcher_response"])
+        mapper.global_scans_processed = int(data["global_scans_processed"])
+        mapper.optimization_last = int(data["optimization_last"])
+        mapper.enable_mapping = bool(data["enable_mapping"])
+        if mapper.filter is not None and "pf_particles" in data.files:
+            import jax.numpy as jnp
+            f = mapper.filter
+            f.particles = jnp.asarray(data["pf_particles"])
+            f.weights = jnp.asarray(data["pf_weights"])
+            f.n_active = int(data["pf_n_active"])
+            f._key = jnp.asarray(data["pf_key"])
+            f._refresh_statistics()
+    return mapper

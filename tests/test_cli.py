@@ -114,3 +114,65 @@ class TestControlChannel:
             assert mapper.prev_odom_pose_is_initialized is False
         finally:
             server.close()
+
+
+class TestSessionCheckpoint:
+    """Full session checkpoint/resume (beyond the reference's map-only
+    save, which loses the pose estimate and needs re-localization)."""
+
+    def test_split_session_matches_continuous(self, tmp_path, capsys):
+        import dataclasses as dc
+
+        from ndt_2d_tpu.io import serialization
+        from ndt_2d_tpu.utils import sim
+
+        mcfg = ScanMatcherConfig(grid_cells_x=160, grid_cells_y=160)
+        cfg = MapperConfig(local_scan_matcher=mcfg, global_scan_matcher=mcfg,
+                           max_points_per_scan=512,
+                           loop_closure_every=10**9)
+        world = sim.make_box_world(10.0, 8.0)
+        truth = np.stack([np.linspace(3.0, 6.0, 16), np.full(16, 4.0),
+                          np.zeros(16)], -1)
+        odom = sim.drift_odometry(truth, 0.01, 0.003, seed=2)
+
+        def scan(t):
+            return sim.scan_at_pose(world, truth[t], n_beams=240,
+                                    range_max=12.0, noise=0.01,
+                                    rng=np.random.default_rng(t))
+
+        # continuous run
+        cont = Mapper(cfg)
+        for t in range(16):
+            cont.process_scan(scan(t), odom[t])
+
+        # split run with checkpoint in the middle
+        half = Mapper(cfg)
+        for t in range(8):
+            half.process_scan(scan(t), odom[t])
+        ckpt = str(tmp_path / "session.npz")
+        serialization.save_session(half, ckpt)
+        resumed = serialization.load_session(ckpt, cfg)
+        assert resumed.prev_odom_pose_is_initialized
+        for t in range(8, 16):
+            resumed.process_scan(scan(t), odom[t])
+
+        assert resumed.graph.num_scans == cont.graph.num_scans
+        np.testing.assert_allclose(resumed.graph.poses, cont.graph.poses,
+                                   atol=1e-6)
+        np.testing.assert_allclose(resumed.typical_matcher_response,
+                                   cont.typical_matcher_response, atol=1e-9)
+
+    def test_map_file_rejected_as_session(self, tmp_path):
+        from ndt_2d_tpu.io import serialization
+
+        cfg = MapperConfig(
+            local_scan_matcher=ScanMatcherConfig(grid_cells_x=64,
+                                                 grid_cells_y=64),
+            max_points_per_scan=64)
+        m = Mapper(cfg)
+        m.graph.add_scan([0.0, 0.0, 0.0], np.zeros((64, 2), np.float32),
+                         np.zeros(64, bool))
+        map_path = str(tmp_path / "m.npz")
+        serialization.save_graph(m.graph, map_path)
+        with pytest.raises(ValueError, match="session"):
+            serialization.load_session(map_path, cfg)
