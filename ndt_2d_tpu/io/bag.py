@@ -44,6 +44,12 @@ class ScanBag:
 
 
 def save_bag(bag: ScanBag, path: str) -> None:
+    if path.endswith(".ndtbag"):
+        # Native binary format (large sequential I/O, no compression);
+        # npz stays the portable default.
+        from ndt_2d_tpu.io import native
+        native.save_bag(bag, path)
+        return
     data = dict(
         ranges=bag.ranges.astype(np.float32),
         angle_min=np.float64(bag.angle_min),
@@ -58,6 +64,9 @@ def save_bag(bag: ScanBag, path: str) -> None:
 
 
 def load_bag(path: str) -> ScanBag:
+    if path.endswith(".ndtbag"):
+        from ndt_2d_tpu.io import native
+        return native.load_bag(path)
     with np.load(path) as d:
         return ScanBag(
             ranges=d["ranges"],

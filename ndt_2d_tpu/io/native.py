@@ -22,7 +22,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libndt2d_native.so")
-_SOURCES = ["baseline_matcher.cpp", "graph_codec.cpp"]
+_SOURCES = ["baseline_matcher.cpp", "graph_codec.cpp", "bag_codec.cpp"]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -49,6 +49,9 @@ def _load() -> ctypes.CDLL:
         lib.ndt2d_save_graph.restype = ctypes.c_int
         lib.ndt2d_graph_header.restype = ctypes.c_int
         lib.ndt2d_load_graph.restype = ctypes.c_int
+        lib.ndt2d_save_bag.restype = ctypes.c_int
+        lib.ndt2d_bag_header.restype = ctypes.c_int
+        lib.ndt2d_load_bag.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -116,6 +119,57 @@ def save_graph(graph, path: str) -> None:
         _ptr(info, ctypes.c_double), _ptr(sw, ctypes.c_uint8))
     if rc != 0:
         raise IOError(f"native save_graph failed: rc={rc}")
+
+
+def save_bag(bag, path: str) -> None:
+    """Write a ScanBag in the native binary format (large sequential I/O)."""
+    lib = _load()
+    ranges = np.ascontiguousarray(bag.ranges, np.float32)
+    odom = np.ascontiguousarray(bag.odom, np.float64)
+    has_truth = bag.truth is not None
+    truth = (np.ascontiguousarray(bag.truth, np.float64) if has_truth
+             else np.zeros((0, 3)))
+    t, n = ranges.shape
+    rc = lib.ndt2d_save_bag(
+        path.encode(), ctypes.c_int(t), ctypes.c_int(n),
+        ctypes.c_uint8(1 if has_truth else 0),
+        ctypes.c_double(bag.angle_min), ctypes.c_double(bag.angle_increment),
+        ctypes.c_double(bag.time_increment), ctypes.c_double(bag.range_max),
+        _ptr(ranges, ctypes.c_float), _ptr(odom, ctypes.c_double),
+        _ptr(truth, ctypes.c_double))
+    if rc != 0:
+        raise IOError(f"native save_bag failed: rc={rc}")
+
+
+def load_bag(path: str):
+    """Read a native-format ScanBag."""
+    from ndt_2d_tpu.io.bag import ScanBag
+    lib = _load()
+    t = ctypes.c_int(0)
+    n = ctypes.c_int(0)
+    ht = ctypes.c_uint8(0)
+    am = ctypes.c_double(0)
+    ai = ctypes.c_double(0)
+    ti = ctypes.c_double(0)
+    rm = ctypes.c_double(0)
+    rc = lib.ndt2d_bag_header(path.encode(), ctypes.byref(t), ctypes.byref(n),
+                              ctypes.byref(ht), ctypes.byref(am),
+                              ctypes.byref(ai), ctypes.byref(ti),
+                              ctypes.byref(rm))
+    if rc != 0:
+        raise IOError(f"native bag header read failed: rc={rc}")
+    ranges = np.zeros((t.value, n.value), np.float32)
+    odom = np.zeros((t.value, 3), np.float64)
+    truth = np.zeros((t.value, 3), np.float64) if ht.value else None
+    rc = lib.ndt2d_load_bag(
+        path.encode(), _ptr(ranges, ctypes.c_float),
+        _ptr(odom, ctypes.c_double),
+        _ptr(truth, ctypes.c_double) if truth is not None else None)
+    if rc != 0:
+        raise IOError(f"native load_bag failed: rc={rc}")
+    return ScanBag(ranges=ranges, angle_min=am.value,
+                   angle_increment=ai.value, time_increment=ti.value,
+                   range_max=rm.value, odom=odom, truth=truth)
 
 
 def load_graph(path: str, max_points_per_scan: int, use_barycenter=True):

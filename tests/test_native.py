@@ -74,3 +74,38 @@ class TestGraphCodec:
                                    g.constraint_information)
         np.testing.assert_array_equal(g2.constraint_switchable,
                                       g.constraint_switchable)
+
+
+class TestNativeBagCodec:
+    def test_roundtrip(self, tmp_path):
+        from ndt_2d_tpu.io import bag as bag_mod
+        bag = bag_mod.record_synthetic("box", 6, n_beams=90, seed=1)
+        path = str(tmp_path / "log.ndtbag")
+        bag_mod.save_bag(bag, path)
+        out = bag_mod.load_bag(path)
+        np.testing.assert_array_equal(out.ranges, bag.ranges)
+        np.testing.assert_array_equal(out.odom, bag.odom)
+        np.testing.assert_array_equal(out.truth, bag.truth)
+        assert out.range_max == bag.range_max
+        assert out.angle_increment == bag.angle_increment
+
+    def test_no_truth(self, tmp_path):
+        from ndt_2d_tpu.io import bag as bag_mod
+        b = bag_mod.record_synthetic("box", 4, n_beams=60, seed=2)
+        b = bag_mod.ScanBag(ranges=b.ranges, angle_min=b.angle_min,
+                            angle_increment=b.angle_increment,
+                            time_increment=b.time_increment,
+                            range_max=b.range_max, odom=b.odom, truth=None)
+        path = str(tmp_path / "nt.ndtbag")
+        bag_mod.save_bag(b, path)
+        out = bag_mod.load_bag(path)
+        assert out.truth is None
+        np.testing.assert_array_equal(out.ranges, b.ranges)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        from ndt_2d_tpu.io import native
+        path = str(tmp_path / "junk.ndtbag")
+        with open(path, "wb") as f:
+            f.write(b"JUNKJUNKJUNKJUNK" * 8)
+        with pytest.raises(IOError):
+            native.load_bag(path)
