@@ -10,7 +10,6 @@ XLA's static-shape compilation model.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 
 def _num_steps(size: float, res: float) -> int:

@@ -14,8 +14,6 @@ tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

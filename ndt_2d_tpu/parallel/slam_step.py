@@ -15,8 +15,6 @@ on an N-virtual-device mesh.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax

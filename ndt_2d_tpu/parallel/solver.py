@@ -16,7 +16,6 @@ divergence is possible.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
