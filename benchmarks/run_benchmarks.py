@@ -338,22 +338,22 @@ def bench_config4(quick: bool) -> dict:
     ctrl = jnp.asarray([0.05, 0.0, 0.0], jnp.float32)
 
     @jax.jit
-    def chain(key, particles, weights, mask):
+    def chain(key, particles, mask):
         def body(i, s):
-            key, p, w, m = s
+            key, p, m = s
             key, k1, k2 = jax.random.split(key, 3)
             p, w, n, mean, cov = pf_mod.pf_step(
-                k1, k2, p, w, m, ctrl, matcher.config, matcher.grid,
+                k1, k2, p, m, ctrl, matcher.config, matcher.grid,
                 jpts, jmask, jn, alphas, jnp.float32(c.kld_err),
                 jnp.float32(c.kld_z), bins, c.min_particles,
                 c.max_particles)
-            return key, p, w, jnp.arange(c.max_particles) < n
-        return jax.lax.fori_loop(0, K, body, (key, particles, weights, mask))
+            return key, p, jnp.arange(c.max_particles) < n
+        return jax.lax.fori_loop(0, K, body, (key, particles, mask))
 
-    out = chain(jax.random.PRNGKey(0), f.particles, f.weights, f.mask)
+    out = chain(jax.random.PRNGKey(0), f.particles, f.mask)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = chain(jax.random.PRNGKey(1), f.particles, f.weights, f.mask)
+    out = chain(jax.random.PRNGKey(1), f.particles, f.mask)
     jax.block_until_ready(out)
     t_dev = (time.perf_counter() - t0) / K
 

@@ -135,7 +135,7 @@ def kld_resample(key, particles, weights, mask, kld_err, kld_z, bin_sizes,
 
 @functools.partial(jax.jit, static_argnames=(
     "mcfg", "min_particles", "max_particles"))
-def pf_step(key_motion, key_resample, particles, weights, mask, control,
+def pf_step(key_motion, key_resample, particles, mask, control,
             mcfg, grid, points, point_mask, num_points,
             alphas, kld_err, kld_z, bin_sizes,
             min_particles: int, max_particles: int):
@@ -245,7 +245,7 @@ class ParticleFilter:
         bins = jnp.asarray([c.kld_bin_x, c.kld_bin_y, c.kld_bin_theta],
                            jnp.float32)
         p, w, n, mean, cov = pf_step(
-            k1, k2, self.particles, self.weights, self.mask,
+            k1, k2, self.particles, self.mask,
             jnp.asarray(control, jnp.float32), matcher.config, matcher.grid,
             jnp.asarray(points), jnp.asarray(point_mask),
             jnp.int32(num_points), alphas, jnp.float32(c.kld_err),

@@ -122,7 +122,10 @@ def load_session(filename: str, config, seed: int = 0):
             data["typical_matcher_response"])
         mapper.global_scans_processed = int(data["global_scans_processed"])
         mapper.optimization_last = int(data["optimization_last"])
-        mapper.enable_mapping = bool(data["enable_mapping"])
+        # Respect the caller's mode: a `localize` session must stay
+        # localization-only even when resuming a mapping checkpoint.
+        mapper.enable_mapping = (bool(data["enable_mapping"])
+                                 and config.enable_mapping)
         if mapper.filter is not None and "pf_particles" in data.files:
             import jax.numpy as jnp
             f = mapper.filter

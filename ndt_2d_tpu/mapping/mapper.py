@@ -471,17 +471,19 @@ class Mapper:
                 i = int(i)
                 if not g.point_mask[i].any():
                     continue  # skip point-less scans (ndt_mapper.cpp:625)
-                # Candidate region: one extra scan on either side
-                # (ndt_mapper.cpp:627-631; end index is exclusive).  Padded
-                # to a fixed 3-slot window so the build kernel compiles for
-                # exactly one shape.
+                # Candidate region (ndt_mapper.cpp:627-631).  NOTE the
+                # reference's comment says "one additional scan on either
+                # side" but its code uses end_idx as an EXCLUSIVE iterator
+                # bound, so the region is [i-1, i+1) = {i-1, i} — at most 2
+                # scans.  We reproduce that exactly (padded to a fixed
+                # 2-slot window so the build kernel compiles once).
                 begin_idx = i - 1 if i > 0 else i
                 end_idx = i + 1 if i < rolling else i
                 k = end_idx - begin_idx
-                poses3 = np.zeros((3, 3), np.float32)
-                pts3 = np.zeros((3, g.max_points, 2), np.float32)
-                pmask3 = np.zeros((3, g.max_points), bool)
-                wmask3 = np.zeros(3, bool)
+                poses3 = np.zeros((2, 3), np.float32)
+                pts3 = np.zeros((2, g.max_points, 2), np.float32)
+                pmask3 = np.zeros((2, g.max_points), bool)
+                wmask3 = np.zeros(2, bool)
                 poses3[:k] = g.poses[begin_idx:end_idx].astype(np.float32)
                 pts3[:k] = g.points[begin_idx:end_idx]
                 pmask3[:k] = g.point_mask[begin_idx:end_idx]
@@ -522,6 +524,9 @@ class Mapper:
                         g, i, idx, np.asarray(res.covariance, np.float64),
                         switchable=True)
                     self.map_update_available = True
+                    # The corrected pose may sit inside the device rolling
+                    # window; force a rebuild from the graph.
+                    self._window_synced = -1
                 else:
                     self.stats.loop_closures_rejected += 1
                     logger.info("***Rejecting loop closure from %d to %d (score %f)",

@@ -46,6 +46,17 @@ from ndt_2d_tpu.utils.sim import LaserScanMsg
 logger = logging.getLogger("ndt_2d_tpu.server")
 
 
+class _GraphView:
+    """Immutable graph copy with the duck-typed surface viz expects."""
+
+    def __init__(self, poses, constraint_begin, constraint_end,
+                 constraint_switchable):
+        self.poses = poses
+        self.constraint_begin = constraint_begin
+        self.constraint_end = constraint_end
+        self.constraint_switchable = constraint_switchable
+
+
 class MapPublisher:
     """4 Hz latched map/graph artifact publisher (mapPublishThread,
     src/ndt_mapper.cpp:687-744)."""
@@ -71,6 +82,15 @@ class MapPublisher:
                         grid = self.mapper.render_map()
                         snap = self.mapper.graph_snapshot()
                         tf = self.mapper.map_to_odom()
+                        # Consistent copy for the (slow, unlocked) PNG
+                        # render below — the live graph keeps growing.
+                        g = self.mapper.graph
+                        frozen = _GraphView(
+                            poses=g.poses.copy(),
+                            constraint_begin=g.constraint_begin.copy(),
+                            constraint_end=g.constraint_end.copy(),
+                            constraint_switchable=(
+                                g.constraint_switchable.copy()))
                     # savez appends .npz to the filename, so the tmp name
                     # must already end with it for os.replace to find it.
                     tmp = os.path.join(self.out_dir, ".map.tmp.npz")
@@ -78,18 +98,20 @@ class MapPublisher:
                                         origin=grid.origin,
                                         resolution=grid.resolution)
                     os.replace(tmp, os.path.join(self.out_dir, "map.npz"))
-                    with open(os.path.join(self.out_dir, "state.json"),
-                              "w") as f:
+                    tmp_state = os.path.join(self.out_dir, ".state.tmp")
+                    with open(tmp_state, "w") as f:
                         json.dump({
                             "map_to_odom": np.asarray(tf).tolist(),
                             "nodes": len(snap["nodes"]),
                             "edges": len(snap["edges"]),
                             "stamp": time.time(),
                         }, f)
+                    os.replace(tmp_state,
+                               os.path.join(self.out_dir, "state.json"))
                     if self.png:
                         from ndt_2d_tpu.utils import viz
                         viz.save_graph_png(
-                            self.mapper.graph,
+                            frozen,
                             os.path.join(self.out_dir, "map.png"), grid=grid)
                     self.publish_count += 1
                 except Exception:  # pragma: no cover

@@ -56,16 +56,27 @@ def descriptors(points, point_mask, range_max, n_bins: int = 32,
     everything).
     """
     dtype = points.dtype
+    S = points.shape[0]
     r = jnp.linalg.norm(points, axis=-1)                        # [S, P]
     msk = point_mask.astype(dtype)
+    # Flat per-(scan, bin) segment ids; masked points go to a scratch
+    # segment that is sliced away.  (segment_sum instead of one_hot keeps
+    # memory at O(S*P) rather than O(S*P*bins) — at district-scale padded
+    # capacities the one_hot formulation allocates hundreds of MB.)
+    scan_base = jnp.arange(S, dtype=jnp.int32)[:, None]
+
+    def binned_sum(values, bins, n):
+        seg = jnp.where(point_mask, scan_base * n + bins, S * n)
+        return jax.ops.segment_sum(
+            values.reshape(-1), seg.reshape(-1),
+            num_segments=S * n + 1)[:S * n].reshape(S, n)
 
     # --- angular profile -> |DFT| ---
     ang = jnp.arctan2(points[..., 1], points[..., 0])           # [S, P]
     sec = jnp.clip(((ang + jnp.pi) / (2.0 * jnp.pi) * n_sectors)
                    .astype(jnp.int32), 0, n_sectors - 1)
-    sec_oh = jax.nn.one_hot(sec, n_sectors, dtype=dtype) * msk[..., None]
-    cnt = jnp.sum(sec_oh, axis=1)                               # [S, A]
-    prof = jnp.sum(sec_oh * r[..., None], axis=1) / jnp.maximum(cnt, 1.0)
+    cnt = binned_sum(msk, sec, n_sectors)                       # [S, A]
+    prof = binned_sum(r * msk, sec, n_sectors) / jnp.maximum(cnt, 1.0)
     prof = prof / range_max                                     # [S, A] in [0,1]
     k = jnp.arange(n_sectors // 2 + 1, dtype=dtype)             # [F]
     a = jnp.arange(n_sectors, dtype=dtype)
@@ -75,8 +86,7 @@ def descriptors(points, point_mask, range_max, n_bins: int = 32,
 
     # --- range histogram ---
     b = jnp.clip((r / range_max * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    hist = jnp.sum(jax.nn.one_hot(b, n_bins, dtype=dtype) * msk[..., None],
-                   axis=1)                                      # [S, B]
+    hist = binned_sum(msk, b, n_bins)                           # [S, B]
     hist = hist / jnp.maximum(jnp.sum(msk, axis=1, keepdims=True), 1.0)
 
     d = jnp.concatenate([spec, hist], axis=-1)

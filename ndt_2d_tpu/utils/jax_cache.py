@@ -30,8 +30,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     if _enabled:
         return cache_dir
     import jax
-    if "cpu" in (jax.config.jax_platforms or
-                 os.environ.get("JAX_PLATFORMS", "")):
+    try:
+        backend = jax.default_backend()
+    except Exception:  # backend init failed; don't make it worse
+        return ""
+    if backend == "cpu":
         # CPU compiles are fast and the XLA:CPU AOT loader spams feature-
         # mismatch warnings on reload; the cache only pays off on TPU.
         return ""

@@ -154,3 +154,6 @@ class TestMapperIntegration:
         mapper.loop_closure()
         closures = int(mapper.graph.constraint_switchable.sum())
         assert closures >= 1, "descriptor search found no loop closure"
+        # Regression: an accepted closure rewrites a pose that may sit in
+        # the device rolling window — the window must be marked stale.
+        assert mapper._window_synced == -1
