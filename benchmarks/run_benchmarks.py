@@ -208,9 +208,9 @@ def bench_config2(quick: bool) -> dict:
 
 
 # ---------------------------------------------------------------------------
-def bench_config3(quick: bool) -> dict:
+def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
     """Full SLAM: office loop with loop closure + optimization + occupancy
-    export (config 3)."""
+    export (config 3; config 6 = the same with descriptor loop search)."""
     import dataclasses as dc
 
     from ndt_2d_tpu.config import ScanMatcherConfig
@@ -227,7 +227,8 @@ def bench_config3(quick: bool) -> dict:
         grid_cells_x=160, grid_cells_y=160)
     cfg = dc.replace(_mapper_config(), global_scan_matcher=global_mcfg,
                      global_search_size=4.0, optimization_node_limit=10,
-                     loop_closure_every=20)
+                     loop_closure_every=20, loop_search=loop_search,
+                     descriptor_min_similarity=0.97)
     mapper = Mapper(cfg)
 
     est, used_truth, times = [], [], []
@@ -249,8 +250,10 @@ def bench_config3(quick: bool) -> dict:
     ate_al = metrics.ate_rmse_aligned(final, np.asarray(used_truth))
     odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
     return {
-        "config": 3,
-        "name": "full_slam_office",
+        "config": 3 if loop_search == "radius" else 6,
+        "name": ("full_slam_office" if loop_search == "radius"
+                 else "full_slam_office_descriptor"),
+        "loop_search": loop_search,
         "scans_in": n,
         "accepted": len(est),
         "loop_closures": closures,
@@ -461,7 +464,9 @@ def bench_config5(quick: bool) -> dict:
 
 # ---------------------------------------------------------------------------
 BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-           4: bench_config4, 5: bench_config5}
+           4: bench_config4, 5: bench_config5,
+           # extra (beyond the 5 driver configs): descriptor-mode full SLAM
+           6: lambda quick: bench_config3(quick, loop_search="descriptor")}
 
 
 def main(argv=None) -> int:
@@ -473,7 +478,7 @@ def main(argv=None) -> int:
                     help="force the CPU backend (virtual 8-device mesh)")
     ap.add_argument("--out", default=RESULTS_PATH)
     args = ap.parse_args(argv)
-    configs = args.configs or sorted(BENCHES)
+    configs = args.configs or [1, 2, 3, 4, 5]
 
     if args.cpu:
         # The environment pre-imports jax pinned to the TPU backend; env-var
