@@ -378,18 +378,35 @@ class Mapper:
     def _process_localization(self, robot_pose, odom_pose, points, mask,
                               num_points) -> ScanResult:
         """Scan-match-only localization branch (ndt_mapper.cpp:547-566)."""
-        uncorrected = float(self.global_matcher.score_points(
-            points, mask, num_points, robot_pose.astype(np.float32)))
-        res = self.global_matcher.match_scan(
-            points, mask, num_points, robot_pose.astype(np.float32))
-        correction = np.asarray(res.correction, np.float64)
+        import jax
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.matching import matcher as matcher_mod
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        m = self.global_matcher
+        with self.stats.timer.section("global_match"):
+            if isinstance(m, NDTScanMatcher) and m.grid is not None:
+                # Fused score+match: one dispatch, one fetch.
+                out = matcher_mod.match_scan_with_score(
+                    m.config, m.grid, jnp.asarray(points, jnp.float32),
+                    jnp.asarray(mask), jnp.int32(num_points),
+                    jnp.asarray(robot_pose, jnp.float32))
+                unc, score, corr, _ = jax.device_get(out)
+            else:  # plugin matchers go through the generic surface
+                unc = m.score_points(points, mask, num_points,
+                                     robot_pose.astype(np.float32))
+                res = m.match_scan(points, mask, num_points,
+                                   robot_pose.astype(np.float32))
+                unc, score, corr = (float(unc), float(res.score),
+                                    np.asarray(res.correction))
+        correction = np.asarray(corr, np.float64)
         pose = robot_pose + correction
         self.prev_odom_pose = odom_pose.copy()
         self.prev_robot_pose = pose.copy()
-        self.stats.record_scan(True, float(res.score))
+        self.stats.record_scan(True, float(score))
         return ScanResult(accepted=True, pose=pose,
-                          uncorrected_score=uncorrected,
-                          matched_score=float(res.score),
+                          uncorrected_score=float(unc),
+                          matched_score=float(score),
                           correction=correction)
 
     # ------------------------------------------------------------------

@@ -379,6 +379,22 @@ def window_append(window: RollingWindow, pose, points,
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def match_scan_with_score(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                          scan_points, scan_mask, num_points, pose):
+    """Fused scoreScan + matchScan against a prebuilt (global) grid.
+
+    The scan-match localization branch runs both back-to-back every scan
+    (ndt_mapper.cpp:556-558); fusing keeps it at one dispatch + one fetch.
+    Returns (uncorrected_score, score, correction, covariance).
+    """
+    unc = score_points_at_pose(config, grid, scan_points, scan_mask,
+                               num_points, pose)
+    res = match_scan(config, grid, scan_points, scan_mask, num_points, pose,
+                     jnp.float32(0.0))
+    return unc, res.score, res.correction, res.covariance
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def match_scan_rolling(config: ScanMatcherConfig, window: RollingWindow,
                        range_max, scan_points, scan_mask, num_points, pose):
     """match_scan_windowed over a device-resident RollingWindow, returning a
