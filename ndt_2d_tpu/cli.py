@@ -217,6 +217,19 @@ def cmd_feed(args) -> int:
     return 0 if last.get("ok") else 1
 
 
+def cmd_import_carmen(args) -> int:
+    from ndt_2d_tpu.io import bag as bag_mod
+    from ndt_2d_tpu.io import carmen
+    bag = carmen.load_carmen(args.log, fov_degrees=args.fov_degrees,
+                             range_max=args.range_max,
+                             use_laser_pose=not args.robot_odom)
+    bag_mod.save_bag(bag, args.out)
+    print(json.dumps({"out": args.out, "scans": len(bag),
+                      "beams": int(bag.ranges.shape[1]),
+                      "range_max": bag.range_max}))
+    return 0
+
+
 def cmd_viz(args) -> int:
     """Render a saved map (and optional occupancy grid) to PNG — the
     offline analog of the reference's RViz graph/map displays."""
@@ -342,6 +355,18 @@ def main(argv=None) -> int:
     p.add_argument("--socket", required=True)
     p.add_argument("--filename", required=True)
     p.set_defaults(fn=lambda a: cmd_configure(a, 8))
+
+    p = sub.add_parser("import-carmen",
+                       help="convert a CARMEN .log/.clf dataset "
+                            "(Intel, MIT, Freiburg...) to a scan bag")
+    p.add_argument("--log", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--fov-degrees", type=float, default=180.0)
+    p.add_argument("--range-max", type=float, default=None)
+    p.add_argument("--robot-odom", action="store_true",
+                   help="use the robot odometry columns instead of the "
+                        "laser pose")
+    p.set_defaults(fn=cmd_import_carmen)
 
     p = sub.add_parser("info", help="inspect a saved map")
     p.add_argument("--map", required=True)
