@@ -110,7 +110,7 @@ def main():
 
     tpu_batch_rate = tpu_rate
     try:
-        K = 64
+        K = 512
         pose_offsets = jnp.asarray(
             0.0005 * np.arange(K)[:, None] * np.ones(3, np.float32),
             jnp.float32)

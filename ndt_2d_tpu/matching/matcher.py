@@ -125,37 +125,14 @@ def _candidate_scores_local(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
 
     Exactly equivalent to the gather path whenever
     2*search_linear_size <= ndt_resolution (asserted by the dispatcher).
+    The neighborhood fetch (the path's only gather) is shared with the Pallas
+    kernel: pallas_kernels.prepare_neighborhood.
     """
-    W, H = config.grid_cells_x, config.grid_cells_y
-
-    th = pose[2] + dths                                   # [A]
-    c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]     # [A, 1]
-    px, py = spts[:, 0][None, :], spts[:, 1][None, :]     # [1, B]
-    bx = c * px - s * py + pose[0]                        # [A, B] base world x
-    by = s * px + c * py + pose[1]
-
-    cell = grid.cell_size
-    # Lowest cell index any candidate can touch (min offset dls[0]).
-    fx = (bx + dls[0] - grid.origin[0]) / cell
-    fy = (by + dls[0] - grid.origin[1]) / cell
-    ix0 = jnp.floor(fx).astype(jnp.int32)                 # [A, B]
-    iy0 = jnp.floor(fy).astype(jnp.int32)
-    # World x/y where the index increments to ix0+1 / iy0+1.
-    cross_x = grid.origin[0] + (ix0.astype(bx.dtype) + 1.0) * cell
-    cross_y = grid.origin[1] + (iy0.astype(by.dtype) + 1.0) * cell
-
-    # Gather the 2x2 neighborhood records: [A, B, 2, 2, ...]
-    oxi = jnp.arange(2, dtype=jnp.int32)
-    ix = ix0[..., :, None] + oxi[None, :]                 # [A, B, 2]
-    iy = iy0[..., :, None] + oxi[None, :]
-    in_x = (ix >= 0) & (ix < W)
-    in_y = (iy >= 0) & (iy < H)
-    flat = (jnp.clip(iy, 0, H - 1)[..., :, None] * W
-            + jnp.clip(ix, 0, W - 1)[..., None, :])       # [A, B, 2(y), 2(x)]
-    mean = grid.mean[flat]                                # [A, B, 2, 2, 2]
-    info = grid.information[flat]                         # [A, B, 2, 2, 3]
-    ok = ((grid.count[flat] >= 5)
-          & in_y[..., :, None] & in_x[..., None, :])      # [A, B, 2, 2]
+    from ndt_2d_tpu.matching import pallas_kernels
+    bx, by, cross_x, cross_y, pack24 = pallas_kernels.prepare_neighborhood(
+        config, grid, spts, smask, pose, dths, dls)
+    a, b = pack24.shape[0], pack24.shape[1]
+    pack = pack24.reshape(a, b, 2, 2, 6)                  # [A, B, 2(y), 2(x), 6]
 
     # Candidate offsets: jx/jy pick which neighborhood cell each (dx, dy)
     # lands in.  [A, Lx, B] / [A, Ly, B] booleans.
@@ -176,18 +153,15 @@ def _candidate_scores_local(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
         hi = jnp.where(jxf, v11, v10)
         return jnp.where(jyf, hi, lo)
 
-    pack = jnp.concatenate(
-        [mean, info, ok[..., None].astype(mean.dtype)], axis=-1)
     psel = sel(pack)                                      # [A, Lx, Ly, B, 6]
     mx, my = psel[..., 0], psel[..., 1]
     i00, i01, i11 = psel[..., 2], psel[..., 3], psel[..., 4]
-    valid = psel[..., 5] > 0.5
+    valid = psel[..., 5] > 0.5                            # smask already folded in
 
     qx = bx[:, None, None, :] + dls[None, :, None, None] - mx
     qy = by[:, None, None, :] + dls[None, None, :, None] - my
     e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
-    pt_scores = jnp.where(valid & smask[None, None, None, :],
-                          jnp.exp(jnp.minimum(e, 0.0)), 0.0)
+    pt_scores = jnp.where(valid, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
     return -jnp.sum(pt_scores, axis=-1)
 
 

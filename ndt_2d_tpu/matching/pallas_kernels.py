@@ -30,11 +30,18 @@ def _round_up(x: int, m: int) -> int:
 
 def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                          spts, smask, pose, dths, dls):
-    """Precompute per-(angle, beam) scoring operands (tiny gathers).
+    """Precompute per-(angle, beam) scoring operands with ONE row-gather.
 
     Returns (bx, by, cross_x, cross_y  [A, B]; pack [A, B, 24]) where pack
     holds the 2x2 neighborhood records (mean_x, mean_y, i00, i01, i11, ok)
     in y-major order.
+
+    All six per-cell fields live in one packed [H*W, 8] table
+    (ndt.grid.packed_cell_table) so the neighborhood fetch is a single
+    row-gather instead of three (mean / information / count) — gathers are
+    the hot path's bottleneck on TPU.  (A fancier (2,2,8) slice-gather of a
+    padded [H+2, W+2, 8] table measured 10x SLOWER than row-gathers here;
+    XLA:TPU lowers multi-dim slice gathers poorly.)
     """
     W, H = config.grid_cells_x, config.grid_cells_y
     th = pose[2] + dths
@@ -56,12 +63,12 @@ def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     in_y = (iy >= 0) & (iy < H)
     flat = (jnp.clip(iy, 0, H - 1)[..., :, None] * W
             + jnp.clip(ix, 0, W - 1)[..., None, :])        # [A, B, 2, 2]
-    mean = grid.mean[flat]
-    info = grid.information[flat]
-    ok = ((grid.count[flat] >= 5)
+    table = ndt_grid.packed_cell_table(grid)               # [H*W, 8]
+    nb = table[flat]                                       # [A, B, 2, 2, 8]
+    ok = ((nb[..., 5] > 0.5)
           & in_y[..., :, None] & in_x[..., None, :]
           & smask[None, :, None, None])
-    pack = jnp.concatenate([mean, info, ok[..., None].astype(mean.dtype)],
+    pack = jnp.concatenate([nb[..., :5], ok[..., None].astype(nb.dtype)],
                            axis=-1)                        # [A, B, 2, 2, 6]
     a, b = pack.shape[0], pack.shape[1]
     return bx, by, cross_x, cross_y, pack.reshape(a, b, 24)
