@@ -119,8 +119,26 @@ class Mapper:
         if self.range_max < 0:
             self.range_max = float(msg_range_max)
         mtype = self.config.scan_matcher_type
-        self.global_matcher = registry.create(
-            mtype, self.config.global_scan_matcher, self.range_max)
+        gcfg = self.config.global_scan_matcher
+        if (self.use_particle_filter or not self.enable_mapping) \
+                and self.graph.num_scans:
+            # Localization builds ONE global NDT over the whole loaded map
+            # (ndt_mapper.cpp:296-303).  The reference sizes its grid
+            # dynamically from the scan bounding box (scan_matcher_ndt.cpp:
+            # 52-67); our grids are static for XLA, so grow the configured
+            # extent to fit the map (rounded up to 32-cell multiples to keep
+            # compilation signatures coarse).  Never shrink below config.
+            wp = np.asarray(self.graph.poses[:, :2], np.float64)
+            span = wp.max(0) - wp.min(0) + 2.0 * self.range_max
+            need = np.ceil(span / gcfg.ndt_resolution).astype(int) + 1
+            gx = max(gcfg.grid_cells_x, int(-(-need[0] // 32) * 32))
+            gy = max(gcfg.grid_cells_y, int(-(-need[1] // 32) * 32))
+            if (gx, gy) != (gcfg.grid_cells_x, gcfg.grid_cells_y):
+                logger.info("Auto-sizing global NDT grid to %dx%d cells "
+                            "for the loaded map", gx, gy)
+                gcfg = dataclasses.replace(gcfg, grid_cells_x=gx,
+                                           grid_cells_y=gy)
+        self.global_matcher = registry.create(mtype, gcfg, self.range_max)
         self.local_matcher = registry.create(
             mtype, self.config.local_scan_matcher, self.range_max)
         if self.config.loop_search == "descriptor":

@@ -142,6 +142,33 @@ class TestLocalization:
         assert len(errs) > 5
         assert np.mean(errs) < 0.12
 
+    def test_global_grid_autosizes_to_loaded_map(self):
+        """Localization grows the static global NDT grid to fit the map.
+
+        The reference sizes its grid dynamically from the scan bounding box
+        (scan_matcher_ndt.cpp:52-67); with XLA static shapes the grid extent
+        is a config, so a map wider than the configured extent must auto-grow
+        it instead of failing the capacity check.
+        """
+        from ndt_2d_tpu.graph.pose_graph import Graph
+        g = Graph(max_points_per_scan=8)
+        pts = np.zeros((8, 2), np.float32)
+        msk = np.ones(8, bool)
+        # 60 m of corridor: needs 60/0.25 + 2*12/0.25 cells ≈ 337 > 160.
+        for x in (0.0, 60.0):
+            g.add_scan(np.asarray([x, 0.0, 0.0]), pts, msk)
+        cfg = dataclasses.replace(CFG, enable_mapping=False, max_range=12.0)
+        loc = Mapper(cfg, graph=g)
+        loc._ensure_matchers(12.0)
+        gx = loc.global_matcher.config.grid_cells_x
+        gy = loc.global_matcher.config.grid_cells_y
+        assert gx >= (60 + 24) / 0.25 and gx % 32 == 0
+        assert gy == 160  # never shrinks below the configured extent
+        # Mapping mode keeps the configured size (rolling windows are small).
+        m = Mapper(CFG)
+        m._ensure_matchers(12.0)
+        assert m.global_matcher.config.grid_cells_x == 160
+
     def test_save_load_roundtrip(self, tmp_path):
         world, truth, path = self._build_map(tmp_path)
         from ndt_2d_tpu.io import serialization
