@@ -39,6 +39,9 @@ def _add_matcher_args(p: argparse.ArgumentParser, ns: str) -> None:
                    dest=f"{ns}__laser_max_beams")
     p.add_argument(f"--{ns}.grid_cells", type=int, default=None,
                    dest=f"{ns}__grid_cells")
+    p.add_argument(f"--{ns}.refine_iterations", type=int, default=None,
+                   dest=f"{ns}__refine_iterations",
+                   help="Newton sub-lattice polish iterations (0 = off)")
 
 
 def _matcher_config(args, ns: str):
@@ -46,7 +49,7 @@ def _matcher_config(args, ns: str):
     kw = {}
     for f in ("ndt_resolution", "search_angular_resolution",
               "search_angular_size", "search_linear_resolution",
-              "search_linear_size", "laser_max_beams"):
+              "search_linear_size", "laser_max_beams", "refine_iterations"):
         v = getattr(args, f"{ns}__{f}", None)
         if v is not None:
             kw[f] = v
@@ -68,7 +71,7 @@ def _mapper_config(args):
             kw[f] = v
     for f in ("rolling_depth", "global_search_limit",
               "optimization_node_limit", "loop_closure_every",
-              "max_points_per_scan", "loop_search"):
+              "max_points_per_scan", "loop_search", "scan_matcher_type"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -310,6 +313,10 @@ def main(argv=None) -> int:
                        default=None, dest="loop_search",
                        help="loop-closure candidate source (default radius; "
                             "descriptor = drift-robust appearance search)")
+        p.add_argument("--scan-matcher-type", default=None,
+                       dest="scan_matcher_type",
+                       help="matcher plugin (ndt_mapper.cpp:91-92): ndt, "
+                            "ndt_newton, correlative, ...")
         p.add_argument("--verbose", action="store_true")
         p.add_argument("--trace-dir", default=None,
                        help="capture a jax.profiler device trace of the "

@@ -58,6 +58,12 @@ class ScanMatcherConfig:
     # locality condition 2*search_linear_size <= ndt_resolution; falls back
     # to the XLA fast path otherwise).
     use_pallas: bool = False
+    # Newton polish of the lattice winner (matching/newton.py): > 0 chains
+    # this many damped Newton iterations on the smooth NDT score surface
+    # after the exhaustive search, giving sub-lattice registration (the
+    # reference is quantized to search_linear/angular_resolution).  0 = off
+    # (reference-parity behavior, the default).
+    refine_iterations: int = 0
 
     @property
     def num_angles(self) -> int:

@@ -287,7 +287,7 @@ class Mapper:
     def _check_window_capacity(self):
         """Static-grid capacity check (the reference sizes its grid
         dynamically, scan_matcher_ndt.cpp:66; our extent is static)."""
-        mcfg = self.config.local_scan_matcher
+        mcfg = self.local_matcher.config
         wp = self._window_poses_host[self._window_mask_host]
         if not len(wp):
             return
@@ -333,8 +333,11 @@ class Mapper:
                 self._range_max_dev = jnp.float32(self.range_max)
             with self.stats.timer.section("local_match"):
                 if fused:
+                    # Instance config, not config.local_scan_matcher: the
+                    # registry factory may have adjusted it (e.g. ndt_newton
+                    # enables refine_iterations).
                     out = matcher_mod.match_scan_rolling(
-                        self.config.local_scan_matcher, window,
+                        self.local_matcher.config, window,
                         self._range_max_dev, dev_points, dev_mask,
                         jnp.int32(num_points),
                         jnp.asarray(pose, jnp.float32))

@@ -257,7 +257,18 @@ def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
     dths, dls = _search_offsets(config, spts.dtype)
     cand = candidate_scores(config, grid, spts, smask, pose, dths, dls)
     best, correction, k, u, s = reduce_candidates(cand, dths, dls)
-    return finalize_match(best, correction, k, u, s, used)
+    res = finalize_match(best, correction, k, u, s, used)
+    if config.refine_iterations > 0:
+        # Newton polish: continuous ascent of the score surface from the
+        # lattice winner (never worse than it; matching/newton.py).
+        from ndt_2d_tpu.matching import newton
+        refined, best_f = newton.refine_pose(
+            config, grid, spts, smask, pose + res.correction,
+            config.refine_iterations)
+        used_f = jnp.maximum(used, 1).astype(best_f.dtype)
+        res = MatchResult(score=best_f / used_f, correction=refined - pose,
+                          covariance=res.covariance)
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -42,3 +42,15 @@ def _correlative(config: ScanMatcherConfig, range_max: float):
 # Alternative matcher implementation (the ndt_2d_karto-style swap the
 # reference's plugin architecture exists for, README.md:6-10).
 register("correlative", _correlative)
+
+
+def _ndt_newton(config: ScanMatcherConfig, range_max: float):
+    """NDT matcher with Newton sub-lattice polish enabled (default 10 iters
+    unless the config already sets refine_iterations)."""
+    import dataclasses
+    if config.refine_iterations == 0:
+        config = dataclasses.replace(config, refine_iterations=10)
+    return NDTScanMatcher(config, range_max)
+
+
+register("ndt_newton", _ndt_newton)
