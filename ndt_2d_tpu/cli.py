@@ -44,6 +44,31 @@ def _add_matcher_args(p: argparse.ArgumentParser, ns: str) -> None:
                    help="Newton sub-lattice polish iterations (0 = off)")
 
 
+def _add_pf_args(p: argparse.ArgumentParser) -> None:
+    """The reference's particle-filter parameters (ndt_mapper.cpp:71-88)."""
+    for name in ("kld_err", "kld_z", "odom_alpha1", "odom_alpha2",
+                 "odom_alpha3", "odom_alpha4", "odom_alpha5",
+                 "kld_bin_x", "kld_bin_y", "kld_bin_theta"):
+        p.add_argument(f"--pf.{name}", type=float, default=None,
+                       dest=f"pf__{name}")
+    for name in ("min_particles", "max_particles"):
+        p.add_argument(f"--pf.{name}", type=int, default=None,
+                       dest=f"pf__{name}")
+
+
+def _pf_config(args):
+    from ndt_2d_tpu.config import ParticleFilterConfig
+    kw = {}
+    for f in ("kld_err", "kld_z", "odom_alpha1", "odom_alpha2",
+              "odom_alpha3", "odom_alpha4", "odom_alpha5",
+              "kld_bin_x", "kld_bin_y", "kld_bin_theta",
+              "min_particles", "max_particles"):
+        v = getattr(args, f"pf__{f}", None)
+        if v is not None:
+            kw[f] = v
+    return ParticleFilterConfig(**kw)
+
+
 def _matcher_config(args, ns: str):
     from ndt_2d_tpu.config import ScanMatcherConfig
     kw = {}
@@ -81,6 +106,7 @@ def _mapper_config(args):
         kw["enable_mapping"] = False
     kw["local_scan_matcher"] = _matcher_config(args, "local_scan_matcher")
     kw["global_scan_matcher"] = _matcher_config(args, "global_scan_matcher")
+    kw["particle_filter"] = _pf_config(args)
     return MapperConfig(**kw)
 
 
@@ -122,12 +148,20 @@ def _run_session(args, localize: bool) -> int:
         control = runtime.ControlServer(mapper, args.socket)
 
     if (localize or graph is not None) and not getattr(args, "resume", None):
-        # Seed localization at the bag's first true/odometric pose.
-        # (A resumed session already carries its pose estimate.)
-        init = (metrics.relative_to_first(bag.truth)[0]
-                if bag.truth is not None else np.zeros(3))
-        mapper.set_initial_pose(init, np.diag([0.25, 0.25, 0.06]),
-                                bag.odom[0])
+        if getattr(args, "global_init", False):
+            # Global relocalization: no initial pose at all, uniform
+            # particle cloud over the map's free space.
+            if not mapper.global_localize(bag.odom[0]):
+                print(json.dumps({"error": "global_localize failed "
+                                  "(requires --particle-filter and a map)"}))
+                return 1
+        else:
+            # Seed localization at the bag's first true/odometric pose.
+            # (A resumed session already carries its pose estimate.)
+            init = (metrics.relative_to_first(bag.truth)[0]
+                    if bag.truth is not None else np.zeros(3))
+            mapper.set_initial_pose(init, np.diag([0.25, 0.25, 0.06]),
+                                    bag.odom[0])
 
     def progress(t, res):
         if args.verbose and res.accepted:
@@ -308,6 +342,10 @@ def main(argv=None) -> int:
         p.add_argument("--socket", default=None,
                        help="UNIX socket path for runtime control")
         p.add_argument("--particle-filter", action="store_true")
+        p.add_argument("--global-init", action="store_true",
+                       help="global relocalization: uniform particle cloud "
+                            "over the map's free space instead of an initial "
+                            "pose (requires --particle-filter)")
         p.add_argument("--no-mapping", action="store_true")
         p.add_argument("--loop-search", choices=["radius", "descriptor"],
                        default=None, dest="loop_search",
@@ -345,6 +383,7 @@ def main(argv=None) -> int:
                        dest="max_range")
         _add_matcher_args(p, "local_scan_matcher")
         _add_matcher_args(p, "global_scan_matcher")
+        _add_pf_args(p)
         p.set_defaults(fn=cmd_run if not localize else cmd_localize)
 
     # The four reference scripts (scripts/*.py) as control-channel verbs.

@@ -200,6 +200,29 @@ class ParticleFilter:
                                 1.0 / self.n_active, jnp.float32)
         self._refresh_statistics()
 
+    def init_global(self, free_xy, cell_size: float):
+        """Global-localization seeding: uniform over free space x uniform
+        heading (AMCL's global_localization service; the reference has no
+        equivalent — it requires a manual initialpose after map load,
+        README.md:50-52).  Cheap on TPU: the whole max_particles cloud is
+        scored in one batched measurement.
+
+        Args:
+          free_xy: [N, 2] world-frame centers of free map cells.
+          cell_size: jitter each draw uniformly within its cell.
+        """
+        m = self.config.max_particles
+        k1, k2, k3 = jax.random.split(self._split(), 3)
+        free = jnp.asarray(free_xy, jnp.float32)
+        idx = jax.random.randint(k1, (m,), 0, free.shape[0])
+        jit_xy = jax.random.uniform(k2, (m, 2), jnp.float32, -0.5, 0.5)
+        th = jax.random.uniform(k3, (m, 1), jnp.float32, -np.pi, np.pi)
+        p = jnp.concatenate([free[idx] + jit_xy * cell_size, th], axis=-1)
+        self.particles = p
+        self.n_active = m
+        self.weights = jnp.full((m,), 1.0 / m, jnp.float32)
+        self._refresh_statistics()
+
     def update(self, dx, dy, dth):
         """Motion update (particle_filter.cpp:71-76)."""
         c = self.config

@@ -195,6 +195,37 @@ class Mapper:
         return True
 
     # ------------------------------------------------------------------
+    def global_localize(self, odom_pose) -> bool:
+        """Global relocalization: seed the particle cloud uniformly over the
+        map's free space (AMCL's global_localization service; the reference
+        has no equivalent — after a map load it requires a manual initialpose,
+        README.md:50-52, ndt_mapper.cpp:316-320).
+
+        Requires particle-filter localization mode and a loaded map.  The
+        filter converges over the next few scans as the batched NDT
+        measurement concentrates weight on consistent hypotheses.
+        """
+        if not self.use_particle_filter or self.filter is None:
+            logger.error("global_localize requires use_particle_filter")
+            return False
+        if not self.graph.num_scans:
+            logger.error("global_localize requires a loaded map")
+            return False
+        grid = self.render_map()
+        free = np.argwhere(grid.data == 0)                 # [N, (iy, ix)]
+        if not len(free):
+            logger.error("map has no observed-free cells")
+            return False
+        centers = grid.origin + (free[:, ::-1] + 0.5) * grid.resolution
+        self.filter.init_global(centers, grid.resolution)
+        self.prev_robot_pose = self.filter.get_mean().astype(np.float64)
+        self.prev_odom_pose = np.asarray(odom_pose, np.float64).copy()
+        self.prev_odom_pose_is_initialized = True
+        logger.info("Global localization: %d particles over %d free cells",
+                    self.filter.n_active, len(free))
+        return True
+
+    # ------------------------------------------------------------------
     def process_scan(self, msg: LaserScanMsg, odom_pose,
                      odom_pose_end=None) -> ScanResult:
         """laserCallback (ndt_mapper.cpp:267-567)."""

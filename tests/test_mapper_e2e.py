@@ -230,6 +230,63 @@ class TestLoopClosure:
         assert ate < 0.25
 
 
+class TestGlobalRelocalization:
+    """Uniform-over-free-space particle init (no reference equivalent: the
+    reference requires a manual initialpose after map load)."""
+
+    def test_global_init_converges(self, tmp_path):
+        # Office ring plus a symmetry-breaking diagonal wall: the bare
+        # office world is 4-fold symmetric, which makes global localization
+        # genuinely ambiguous.
+        world = np.concatenate([
+            sim.make_office_world(16.0),
+            np.asarray([[[1.0, 13.0], [3.0, 15.0]]]),
+        ], axis=0)
+        n = 16
+        truth = np.stack([np.linspace(2.0, 10.0, n),
+                          np.full(n, 2.0), np.zeros(n)], axis=-1)
+        mapper, _, _ = run_mapping(world, truth, truth.copy(),
+                                   range_max=14.0)
+        path = str(tmp_path / "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+
+        pf_cfg = dataclasses.replace(
+            CFG, use_particle_filter=True,
+            particle_filter=dataclasses.replace(
+                MapperConfig().particle_filter,
+                min_particles=100, max_particles=6000,
+                odom_alpha1=0.05, odom_alpha2=0.05,
+                odom_alpha3=0.05, odom_alpha4=0.05))
+        loc = Mapper(pf_cfg, seed=7)
+        loc.configure(LOAD_FROM_FILE, path)
+
+        # No initial pose at all.
+        assert loc.global_localize(truth[0])
+        spread = loc.filter.get_covariance()
+        assert spread[0, 0] > 1.0  # genuinely global: meters of uncertainty
+
+        rel_truth = metrics.relative_to_first(truth)
+        odom = sim.drift_odometry(truth, 0.01, 0.003, seed=31)
+        errs = []
+        for t in range(1, n):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=14.0, noise=0.01,
+                                   rng=np.random.default_rng(900 + t))
+            res = loc.process_scan(msg, odom[t])
+            if res.accepted:
+                errs.append(np.hypot(*(res.pose[:2] - rel_truth[t][:2])))
+        assert len(errs) > 8
+        # Converged: the last few poses track truth.
+        assert np.mean(errs[-3:]) < 0.5
+
+    def test_global_localize_requires_pf_and_map(self):
+        m = Mapper(CFG)  # mapping mode, no PF
+        assert not m.global_localize(np.zeros(3))
+        pf_cfg = dataclasses.replace(CFG, use_particle_filter=True)
+        m2 = Mapper(pf_cfg)  # PF but empty map
+        assert not m2.global_localize(np.zeros(3))
+
+
 class TestParticleFilterLocalization:
     """AMCL-parity localization (BASELINE config 4, miniature)."""
 
