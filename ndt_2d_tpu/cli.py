@@ -45,27 +45,27 @@ def _add_matcher_args(p: argparse.ArgumentParser, ns: str) -> None:
 
 
 def _add_pf_args(p: argparse.ArgumentParser) -> None:
-    """The reference's particle-filter parameters (ndt_mapper.cpp:71-88)."""
-    for name in ("kld_err", "kld_z", "odom_alpha1", "odom_alpha2",
-                 "odom_alpha3", "odom_alpha4", "odom_alpha5",
-                 "kld_bin_x", "kld_bin_y", "kld_bin_theta"):
-        p.add_argument(f"--pf.{name}", type=float, default=None,
-                       dest=f"pf__{name}")
-    for name in ("min_particles", "max_particles"):
-        p.add_argument(f"--pf.{name}", type=int, default=None,
-                       dest=f"pf__{name}")
+    """The reference's particle-filter parameters (ndt_mapper.cpp:71-88),
+    derived from the config dataclass so the flag list can't drift."""
+    import dataclasses as _dc
+
+    from ndt_2d_tpu.config import ParticleFilterConfig
+    for f in _dc.fields(ParticleFilterConfig):
+        # f.type is a string under `from __future__ import annotations`;
+        # the default value's type is the reliable source.
+        p.add_argument(f"--pf.{f.name}", type=type(f.default),
+                       default=None, dest=f"pf__{f.name}")
 
 
 def _pf_config(args):
+    import dataclasses as _dc
+
     from ndt_2d_tpu.config import ParticleFilterConfig
     kw = {}
-    for f in ("kld_err", "kld_z", "odom_alpha1", "odom_alpha2",
-              "odom_alpha3", "odom_alpha4", "odom_alpha5",
-              "kld_bin_x", "kld_bin_y", "kld_bin_theta",
-              "min_particles", "max_particles"):
-        v = getattr(args, f"pf__{f}", None)
+    for f in _dc.fields(ParticleFilterConfig):
+        v = getattr(args, f"pf__{f.name}", None)
         if v is not None:
-            kw[f] = v
+            kw[f.name] = v
     return ParticleFilterConfig(**kw)
 
 
@@ -147,6 +147,12 @@ def _run_session(args, localize: bool) -> int:
     if args.socket:
         control = runtime.ControlServer(mapper, args.socket)
 
+    if getattr(args, "global_init", False) and (
+            getattr(args, "resume", None) or
+            (not localize and graph is None)):
+        print(json.dumps({"error": "--global-init requires a map to "
+                          "localize in and is incompatible with --resume"}))
+        return 1
     if (localize or graph is not None) and not getattr(args, "resume", None):
         if getattr(args, "global_init", False):
             # Global relocalization: no initial pose at all, uniform
@@ -354,7 +360,9 @@ def main(argv=None) -> int:
         p.add_argument("--scan-matcher-type", default=None,
                        dest="scan_matcher_type",
                        help="matcher plugin (ndt_mapper.cpp:91-92): ndt, "
-                            "ndt_newton, correlative, ...")
+                            "correlative, or ndt_newton (sub-lattice Newton "
+                            "polish; best for localize, measured to worsen "
+                            "rolling-mapping ATE)")
         p.add_argument("--verbose", action="store_true")
         p.add_argument("--trace-dir", default=None,
                        help="capture a jax.profiler device trace of the "

@@ -141,6 +141,17 @@ class Mapper:
         self.global_matcher = registry.create(mtype, gcfg, self.range_max)
         self.local_matcher = registry.create(
             mtype, self.config.local_scan_matcher, self.range_max)
+        if (self.enable_mapping
+                and getattr(self.local_matcher.config, "refine_iterations",
+                            0) > 0):
+            # Measured on synthetic corridors: continuous refinement against
+            # the rolling window drags poses sub-cell toward the window's own
+            # history and worsens trajectory ATE (see matching/newton.py).
+            logger.warning(
+                "Newton refinement is enabled on the LOCAL (rolling-window) "
+                "matcher while mapping; this was measured to worsen "
+                "trajectory ATE. Prefer refinement on the global matcher "
+                "only (localization / loop-closure confirmation).")
         if self.config.loop_search == "descriptor":
             self.coarse_matcher = registry.create(
                 mtype, self.config.coarse_scan_matcher, self.range_max)
@@ -211,7 +222,13 @@ class Mapper:
         if not self.graph.num_scans:
             logger.error("global_localize requires a loaded map")
             return False
-        grid = self.render_map()
+        # Render the occupancy grid directly: render_map() would clear the
+        # map_update_available publisher flag as a side effect, suppressing
+        # the post-load map publish in the live-serve runtime.
+        g = self.graph
+        grid = occupancy.render_occupancy(
+            g.poses, g.points, g.point_mask, self.config.resolution,
+            self.config.occupancy_threshold)
         free = np.argwhere(grid.data == 0)                 # [N, (iy, ix)]
         if not len(free):
             logger.error("map has no observed-free cells")
@@ -442,7 +459,7 @@ class Mapper:
                 out = matcher_mod.match_scan_with_score(
                     m.config, m.grid, jnp.asarray(points, jnp.float32),
                     jnp.asarray(mask), jnp.int32(num_points),
-                    jnp.asarray(robot_pose, jnp.float32))
+                    jnp.asarray(robot_pose, jnp.float32), m.packed_table)
                 unc, score, corr, _ = jax.device_get(out)
             else:  # plugin matchers go through the generic surface
                 unc = m.score_points(points, mask, num_points,

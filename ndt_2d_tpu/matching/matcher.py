@@ -94,8 +94,61 @@ def _search_offsets(config: ScanMatcherConfig, dtype=jnp.float32):
     return a, l
 
 
+def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                         spts, smask, pose, dths, dls, table=None):
+    """Precompute per-(angle, beam) scoring operands with ONE row-gather.
+
+    Returns (bx, by, cross_x, cross_y  [A, B]; pack [A, B, 24]) where pack
+    holds the 2x2 neighborhood records (mean_x, mean_y, i00, i01, i11, ok)
+    in y-major order.  Shared by the XLA fast path and the Pallas kernel.
+
+    All six per-cell fields live in one packed [H*W, 8] table
+    (ndt.grid.packed_cell_table) so the neighborhood fetch is a single
+    row-gather instead of three (mean / information / count) — gathers are
+    the hot path's bottleneck on TPU.  (A fancier (2,2,8) slice-gather of a
+    padded [H+2, W+2, 8] table measured 10x SLOWER than row-gathers here;
+    XLA:TPU lowers multi-dim slice gathers poorly.)
+
+    Args:
+      table: optional prebuilt packed_cell_table(grid); pass it when the
+        grid is static across many matches (e.g. the localization global
+        NDT) so the stack isn't re-materialized inside every dispatch.
+    """
+    W, H = config.grid_cells_x, config.grid_cells_y
+    th = pose[2] + dths
+    c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]
+    px, py = spts[:, 0][None, :], spts[:, 1][None, :]
+    bx = c * px - s * py + pose[0]
+    by = s * px + c * py + pose[1]
+
+    cell = grid.cell_size
+    ix0 = jnp.floor((bx + dls[0] - grid.origin[0]) / cell).astype(jnp.int32)
+    iy0 = jnp.floor((by + dls[0] - grid.origin[1]) / cell).astype(jnp.int32)
+    cross_x = grid.origin[0] + (ix0.astype(bx.dtype) + 1.0) * cell
+    cross_y = grid.origin[1] + (iy0.astype(by.dtype) + 1.0) * cell
+
+    oxi = jnp.arange(2, dtype=jnp.int32)
+    ix = ix0[..., None] + oxi
+    iy = iy0[..., None] + oxi
+    in_x = (ix >= 0) & (ix < W)
+    in_y = (iy >= 0) & (iy < H)
+    flat = (jnp.clip(iy, 0, H - 1)[..., :, None] * W
+            + jnp.clip(ix, 0, W - 1)[..., None, :])        # [A, B, 2, 2]
+    if table is None:
+        table = ndt_grid.packed_cell_table(grid)           # [H*W, 8]
+    nb = table[flat]                                       # [A, B, 2, 2, 8]
+
+    ok = ((nb[..., 5] > 0.5)
+          & in_y[..., :, None] & in_x[..., None, :]
+          & smask[None, :, None, None])
+    pack = jnp.concatenate([nb[..., :5], ok[..., None].astype(nb.dtype)],
+                           axis=-1)                        # [A, B, 2, 2, 6]
+    a, b = pack.shape[0], pack.shape[1]
+    return bx, by, cross_x, cross_y, pack.reshape(a, b, 24)
+
+
 def candidate_scores(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
-                     spts, smask, pose, dths, dls):
+                     spts, smask, pose, dths, dls, packed_table=None):
     """Score a block of candidate poses: [A_blk, L, L] negative likelihoods.
 
     The computational core of the search; the multichip matcher
@@ -112,25 +165,25 @@ def candidate_scores(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
         if config.use_pallas:
             from ndt_2d_tpu.matching import pallas_kernels
             return pallas_kernels.candidate_scores_pallas(
-                config, grid, spts, smask, pose, dths, dls)
+                config, grid, spts, smask, pose, dths, dls,
+                packed_table=packed_table)
         return _candidate_scores_local(config, grid, spts, smask, pose,
-                                       dths, dls)
+                                       dths, dls, packed_table)
     return _candidate_scores_gather(config, grid, spts, smask, pose,
                                     dths, dls)
 
 
 def _candidate_scores_local(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
-                            spts, smask, pose, dths, dls):
+                            spts, smask, pose, dths, dls, packed_table=None):
     """Fast path: per-(angle, beam) 2x2 cell neighborhood + dense selection.
 
     Exactly equivalent to the gather path whenever
     2*search_linear_size <= ndt_resolution (asserted by the dispatcher).
-    The neighborhood fetch (the path's only gather) is shared with the Pallas
-    kernel: pallas_kernels.prepare_neighborhood.
+    The neighborhood fetch (the path's only gather) is prepare_neighborhood,
+    shared with the Pallas kernel.
     """
-    from ndt_2d_tpu.matching import pallas_kernels
-    bx, by, cross_x, cross_y, pack24 = pallas_kernels.prepare_neighborhood(
-        config, grid, spts, smask, pose, dths, dls)
+    bx, by, cross_x, cross_y, pack24 = prepare_neighborhood(
+        config, grid, spts, smask, pose, dths, dls, table=packed_table)
     a, b = pack24.shape[0], pack24.shape[1]
     pack = pack24.reshape(a, b, 2, 2, 6)                  # [A, B, 2(y), 2(x), 6]
 
@@ -243,19 +296,23 @@ def finalize_match(best, correction, k, u, s, used) -> MatchResult:
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
-               point_mask, num_points, pose, range_max) -> MatchResult:
+               point_mask, num_points, pose, range_max,
+               packed_table=None) -> MatchResult:
     """Exhaustive 3-DoF search of one scan against the window NDT.
 
     Args:
       grid: the window NDT (from build_window_ndt).
       points: [P, 2] robot-frame scan points (padded), point_mask: [P],
       num_points: scalar int, pose: [3] current scan pose estimate.
+      packed_table: optional prebuilt packed_cell_table(grid) for static
+        grids matched many times (see prepare_neighborhood).
     """
     del range_max  # part of the signature for symmetry; unused here
     B = config.laser_max_beams
     spts, smask, used = subsample(points, point_mask, num_points, B)
     dths, dls = _search_offsets(config, spts.dtype)
-    cand = candidate_scores(config, grid, spts, smask, pose, dths, dls)
+    cand = candidate_scores(config, grid, spts, smask, pose, dths, dls,
+                            packed_table)
     best, correction, k, u, s = reduce_candidates(cand, dths, dls)
     res = finalize_match(best, correction, k, u, s, used)
     if config.refine_iterations > 0:
@@ -365,7 +422,8 @@ def window_append(window: RollingWindow, pose, points,
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def match_scan_with_score(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
-                          scan_points, scan_mask, num_points, pose):
+                          scan_points, scan_mask, num_points, pose,
+                          packed_table=None):
     """Fused scoreScan + matchScan against a prebuilt (global) grid.
 
     The scan-match localization branch runs both back-to-back every scan
@@ -375,7 +433,7 @@ def match_scan_with_score(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     unc = score_points_at_pose(config, grid, scan_points, scan_mask,
                                num_points, pose)
     res = match_scan(config, grid, scan_points, scan_mask, num_points, pose,
-                     jnp.float32(0.0))
+                     jnp.float32(0.0), packed_table)
     return unc, res.score, res.correction, res.covariance
 
 
@@ -403,6 +461,10 @@ class NDTScanMatcher:
         self.config = config
         self.range_max = float(range_max)
         self.grid: Optional[ndt_grid.NDTGrid] = None
+        # Packed scoring table cached per add_scans: the grid is static
+        # across all subsequent matches (e.g. the localization global NDT),
+        # so the [H*W, 8] stack shouldn't be re-materialized per dispatch.
+        self.packed_table = None
 
     def add_scans(self, poses, points, point_mask, window_mask=None):
         poses = jnp.asarray(poses)
@@ -423,13 +485,15 @@ class NDTScanMatcher:
         self.grid = build_window_ndt(self.config, poses, jnp.asarray(points),
                                      jnp.asarray(point_mask), window_mask,
                                      self.range_max)
+        self.packed_table = jax.jit(ndt_grid.packed_cell_table)(self.grid)
 
     def match_scan(self, points, point_mask, num_points, pose) -> MatchResult:
         if self.grid is None:  # "Scans must be added first" (:80)
             return MatchResult(jnp.zeros(()), jnp.zeros(3), jnp.zeros((3, 3)))
         return match_scan(self.config, self.grid, jnp.asarray(points),
                           jnp.asarray(point_mask), jnp.asarray(num_points),
-                          jnp.asarray(pose), self.range_max)
+                          jnp.asarray(pose), self.range_max,
+                          self.packed_table)
 
     def score_points(self, points, point_mask, num_points, pose):
         if self.grid is None:
@@ -441,3 +505,4 @@ class NDTScanMatcher:
 
     def reset(self):
         self.grid = None
+        self.packed_table = None

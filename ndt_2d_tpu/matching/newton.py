@@ -116,7 +116,10 @@ def refine_pose(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                          config.search_linear_resolution,
                          config.search_angular_resolution])
 
-    f0, _, _ = _objective_grad_hess(grid, W, H, spts, smask, pose)
+    # best_f starts at +inf: the first scan iteration evaluates f(pose) and
+    # always installs it as the incumbent, so the starting pose is never
+    # evaluated twice.
+    f0 = jnp.asarray(jnp.inf, spts.dtype)
 
     def body(carry, _):
         cur, best, best_f = carry

@@ -28,52 +28,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
-                         spts, smask, pose, dths, dls):
-    """Precompute per-(angle, beam) scoring operands with ONE row-gather.
-
-    Returns (bx, by, cross_x, cross_y  [A, B]; pack [A, B, 24]) where pack
-    holds the 2x2 neighborhood records (mean_x, mean_y, i00, i01, i11, ok)
-    in y-major order.
-
-    All six per-cell fields live in one packed [H*W, 8] table
-    (ndt.grid.packed_cell_table) so the neighborhood fetch is a single
-    row-gather instead of three (mean / information / count) — gathers are
-    the hot path's bottleneck on TPU.  (A fancier (2,2,8) slice-gather of a
-    padded [H+2, W+2, 8] table measured 10x SLOWER than row-gathers here;
-    XLA:TPU lowers multi-dim slice gathers poorly.)
-    """
-    W, H = config.grid_cells_x, config.grid_cells_y
-    th = pose[2] + dths
-    c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]
-    px, py = spts[:, 0][None, :], spts[:, 1][None, :]
-    bx = c * px - s * py + pose[0]
-    by = s * px + c * py + pose[1]
-
-    cell = grid.cell_size
-    ix0 = jnp.floor((bx + dls[0] - grid.origin[0]) / cell).astype(jnp.int32)
-    iy0 = jnp.floor((by + dls[0] - grid.origin[1]) / cell).astype(jnp.int32)
-    cross_x = grid.origin[0] + (ix0.astype(bx.dtype) + 1.0) * cell
-    cross_y = grid.origin[1] + (iy0.astype(by.dtype) + 1.0) * cell
-
-    oxi = jnp.arange(2, dtype=jnp.int32)
-    ix = ix0[..., None] + oxi
-    iy = iy0[..., None] + oxi
-    in_x = (ix >= 0) & (ix < W)
-    in_y = (iy >= 0) & (iy < H)
-    flat = (jnp.clip(iy, 0, H - 1)[..., :, None] * W
-            + jnp.clip(ix, 0, W - 1)[..., None, :])        # [A, B, 2, 2]
-    table = ndt_grid.packed_cell_table(grid)               # [H*W, 8]
-    nb = table[flat]                                       # [A, B, 2, 2, 8]
-    ok = ((nb[..., 5] > 0.5)
-          & in_y[..., :, None] & in_x[..., None, :]
-          & smask[None, :, None, None])
-    pack = jnp.concatenate([nb[..., :5], ok[..., None].astype(nb.dtype)],
-                           axis=-1)                        # [A, B, 2, 2, 6]
-    a, b = pack.shape[0], pack.shape[1]
-    return bx, by, cross_x, cross_y, pack.reshape(a, b, 24)
-
-
 def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
                   out_ref):
     """8 angles per program: score [B_pad] beams x [T_pad] candidates each.
@@ -118,7 +72,7 @@ def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
 
 def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                             spts, smask, pose, dths, dls,
-                            interpret: bool = False):
+                            interpret: bool = False, packed_table=None):
     """Pallas implementation of the locality fast path.
 
     Returns [A, L, L] candidate scores, identical (up to fp reassociation)
@@ -130,8 +84,9 @@ def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     B = spts.shape[0]
     dtype = spts.dtype
 
+    from ndt_2d_tpu.matching.matcher import prepare_neighborhood
     bx, by, cx, cy, pack = prepare_neighborhood(
-        config, grid, spts, smask, pose, dths, dls)
+        config, grid, spts, smask, pose, dths, dls, table=packed_table)
 
     B_pad = _round_up(B, 128)  # lane-dim divisibility for [., B_pad] blocks
     A_BLK = 8                  # sublane-dim minimum per block
