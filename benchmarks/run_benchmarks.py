@@ -463,10 +463,82 @@ def bench_config5(quick: bool) -> dict:
 
 
 # ---------------------------------------------------------------------------
+def bench_config7(quick: bool) -> dict:
+    """Global relocalization: uniform particle cloud over map free space
+    (no reference equivalent; Mapper.global_localize).  Measures whether the
+    filter converges from zero prior and how fast the big-cloud PF steps run.
+    """
+    import dataclasses as dc
+
+    from ndt_2d_tpu.config import MapperConfig
+    from ndt_2d_tpu.mapping.mapper import (Mapper, LOAD_FROM_FILE,
+                                           SAVE_TO_FILE)
+    from ndt_2d_tpu.utils import metrics, sim
+
+    # Symmetry-broken office (the bare office ring is 4-fold symmetric).
+    world = np.concatenate([
+        sim.make_office_world(16.0),
+        np.asarray([[[1.0, 13.0], [3.0, 15.0]]]),
+    ], axis=0)
+    n = 16 if quick else 40
+    max_particles = 6000 if quick else 20000
+    truth = np.stack([np.linspace(2.0, 10.0, n),
+                      np.full(n, 2.0), np.zeros(n)], axis=-1)
+    mapper = Mapper(_mapper_config(loop_closure_every=10**9, max_range=14.0))
+    for t in range(n):
+        msg = sim.scan_at_pose(world, truth[t], n_beams=240, range_max=14.0,
+                               noise=0.01, rng=np.random.default_rng(t))
+        mapper.process_scan(msg, truth[t])
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+        pf_cfg = _mapper_config(use_particle_filter=True, max_range=14.0)
+        pf_cfg = dc.replace(
+            pf_cfg, particle_filter=dc.replace(
+                MapperConfig().particle_filter,
+                min_particles=200, max_particles=max_particles,
+                odom_alpha1=0.05, odom_alpha2=0.05,
+                odom_alpha3=0.05, odom_alpha4=0.05))
+        loc = Mapper(pf_cfg, seed=7)
+        loc.configure(LOAD_FROM_FILE, path)
+
+    assert loc.global_localize(truth[0])
+    initial_spread = float(loc.filter.get_covariance()[0, 0])
+
+    rel_truth = metrics.relative_to_first(truth)
+    odom = sim.drift_odometry(truth, 0.01, 0.003, seed=31)
+    errs, times, converged_at = [], [], None
+    for t in range(1, n):
+        msg = sim.scan_at_pose(world, truth[t], n_beams=240, range_max=14.0,
+                               noise=0.01, rng=np.random.default_rng(900 + t))
+        t0 = time.perf_counter()
+        res = loc.process_scan(msg, odom[t])
+        times.append(time.perf_counter() - t0)
+        if res.accepted:
+            e = float(np.hypot(*(res.pose[:2] - rel_truth[t][:2])))
+            errs.append(e)
+            if converged_at is None and e < 0.5:
+                converged_at = t
+    return {
+        "config": 7,
+        "name": "global_relocalization",
+        "max_particles": max_particles,
+        "scans": n,
+        "initial_spread_var_m2": round(initial_spread, 3),
+        "converged_at_scan": converged_at,
+        "final_pos_err_m": round(float(np.mean(errs[-3:])), 4),
+        "scan_ms_median": round(float(np.median(times[2:])) * 1e3, 2),
+    }
+
+
 BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            4: bench_config4, 5: bench_config5,
            # extra (beyond the 5 driver configs): descriptor-mode full SLAM
-           6: lambda quick: bench_config3(quick, loop_search="descriptor")}
+           6: lambda quick: bench_config3(quick, loop_search="descriptor"),
+           # extra: global relocalization from zero prior
+           7: bench_config7}
 
 
 def main(argv=None) -> int:

@@ -42,6 +42,10 @@ def _add_matcher_args(p: argparse.ArgumentParser, ns: str) -> None:
     p.add_argument(f"--{ns}.refine_iterations", type=int, default=None,
                    dest=f"{ns}__refine_iterations",
                    help="Newton sub-lattice polish iterations (0 = off)")
+    p.add_argument(f"--{ns}.overlapping_grids", type=int, default=None,
+                   dest=f"{ns}__overlapping_grids",
+                   help="1 = Biber 4-overlapping-grids scoring (the "
+                        "reference's single-grid simplification off)")
 
 
 def _add_pf_args(p: argparse.ArgumentParser) -> None:
@@ -82,6 +86,9 @@ def _matcher_config(args, ns: str):
     if gc is not None:
         kw["grid_cells_x"] = gc
         kw["grid_cells_y"] = gc
+    og = getattr(args, f"{ns}__overlapping_grids", None)
+    if og is not None:
+        kw["overlapping_grids"] = bool(og)
     return ScanMatcherConfig(**kw)
 
 

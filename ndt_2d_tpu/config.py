@@ -58,6 +58,13 @@ class ScanMatcherConfig:
     # locality condition 2*search_linear_size <= ndt_resolution; falls back
     # to the XLA fast path otherwise).
     use_pallas: bool = False
+    # Overlapping grids (Biber & Strasser 2003): score against 4 NDT grids
+    # whose origins are shifted by half a cell in (x, y, xy) and average.
+    # The reference deliberately simplifies to a single grid
+    # (README.md:114-118), which makes the score surface discontinuous at
+    # cell boundaries and biased toward cell centers; 4 grids smooth it.
+    # Costs ~4x the (sub-millisecond) match time.
+    overlapping_grids: bool = False
     # Newton polish of the lattice winner (matching/newton.py): > 0 chains
     # this many damped Newton iterations on the smooth NDT score surface
     # after the exhaustive search, giving sub-lattice registration (the

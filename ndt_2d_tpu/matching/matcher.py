@@ -67,10 +67,24 @@ def window_origin(config: ScanMatcherConfig, poses, window_mask, range_max):
     return jnp.min(xy, axis=0) - range_max
 
 
+def _grid_slice(grid: ndt_grid.NDTGrid, i: int) -> ndt_grid.NDTGrid:
+    """Grid #i of a stacked (overlapping) NDT grid."""
+    return jax.tree.map(lambda x: x[i], grid)
+
+
+def is_multi_grid(grid: ndt_grid.NDTGrid) -> bool:
+    """True for the 4-stacked overlapping-grids representation."""
+    return grid.mean.ndim == 3
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def build_window_ndt(config: ScanMatcherConfig, poses, points, point_mask,
                      window_mask, range_max) -> ndt_grid.NDTGrid:
     """Build the window NDT (ScanMatcherNDT::addScans, src/scan_matcher_ndt.cpp:49-74).
+
+    With config.overlapping_grids, returns a stacked NDTGrid (leading axis 4)
+    whose origins are shifted by half a cell in (x, y, xy) — the Biber-paper
+    overlapping-grid scheme the reference omits (README.md:114-118).
 
     Args:
       poses: [S, 3]; points: [S, P, 2] robot-frame; point_mask: [S, P];
@@ -78,6 +92,15 @@ def build_window_ndt(config: ScanMatcherConfig, poses, points, point_mask,
     """
     origin = window_origin(config, poses, window_mask, range_max)
     mask = point_mask & window_mask[:, None]
+    if config.overlapping_grids:
+        h = 0.5 * config.ndt_resolution
+        offs = jnp.asarray([[0.0, 0.0], [h, 0.0], [0.0, h], [h, h]],
+                           poses.dtype)
+        return jax.vmap(
+            lambda o: ndt_grid.build_ndt_from_scans(
+                poses, points, mask, o, config.ndt_resolution,
+                config.grid_cells_x, config.grid_cells_y)
+        )(origin[None, :] - offs)
     return ndt_grid.build_ndt_from_scans(
         poses, points, mask, origin, config.ndt_resolution,
         config.grid_cells_x, config.grid_cells_y)
@@ -159,7 +182,26 @@ def candidate_scores(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     cells): each (angle, beam) then touches at most 2x2 cells, so the gather
     count drops from A*L*L*B to A*B*4 (~100x) and the per-candidate work is
     pure dense VPU math.
+
+    A stacked overlapping-grids NDT is scored as the MEAN over its grids —
+    same scale as a single grid, so score gates/EWMA thresholds carry over.
     """
+    if is_multi_grid(grid):
+        n = grid.mean.shape[0]
+        per = [
+            _candidate_scores_one(
+                config, _grid_slice(grid, i), spts, smask, pose, dths, dls,
+                None if packed_table is None else packed_table[i])
+            for i in range(n)
+        ]
+        return sum(per) / n
+    return _candidate_scores_one(config, grid, spts, smask, pose, dths, dls,
+                                 packed_table)
+
+
+def _candidate_scores_one(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                          spts, smask, pose, dths, dls, packed_table=None):
+    """candidate_scores for one (non-stacked) grid."""
     span = 2.0 * config.search_linear_size
     if span <= config.ndt_resolution:
         if config.use_pallas:
@@ -342,8 +384,15 @@ def score_points_at_pose(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     wx = c * spts[:, 0] - s * spts[:, 1] + pose[0]
     wy = s * spts[:, 0] + c * spts[:, 1] + pose[1]
     w = jnp.stack([wx, wy], axis=-1)
-    sc = ndt_grid.score_points(grid, w, smask,
-                               config.grid_cells_x, config.grid_cells_y)
+    if is_multi_grid(grid):
+        n = grid.mean.shape[0]
+        sc = sum(ndt_grid.score_points(_grid_slice(grid, i), w, smask,
+                                       config.grid_cells_x,
+                                       config.grid_cells_y)
+                 for i in range(n)) / n
+    else:
+        sc = ndt_grid.score_points(grid, w, smask,
+                                   config.grid_cells_x, config.grid_cells_y)
     return -jnp.sum(sc) / jnp.maximum(used, 1).astype(w.dtype)
 
 
@@ -485,7 +534,9 @@ class NDTScanMatcher:
         self.grid = build_window_ndt(self.config, poses, jnp.asarray(points),
                                      jnp.asarray(point_mask), window_mask,
                                      self.range_max)
-        self.packed_table = jax.jit(ndt_grid.packed_cell_table)(self.grid)
+        pack = (jax.vmap(ndt_grid.packed_cell_table)
+                if is_multi_grid(self.grid) else ndt_grid.packed_cell_table)
+        self.packed_table = jax.jit(pack)(self.grid)
 
     def match_scan(self, points, point_mask, num_points, pose) -> MatchResult:
         if self.grid is None:  # "Scans must be added first" (:80)

@@ -43,6 +43,24 @@ from ndt_2d_tpu.ndt import grid as ndt_grid
 
 def _objective_grad_hess(grid: ndt_grid.NDTGrid, width: int, height: int,
                          spts, smask, pose):
+    """(f, grad [3], hess [3, 3]) of f = -mean-over-grids of cell scores.
+
+    A stacked overlapping-grids NDT (matcher.is_multi_grid) contributes the
+    average of its 4 sub-grids, matching candidate_scores' score scale; a
+    single grid passes through unchanged.
+    """
+    if grid.mean.ndim == 3:
+        import jax
+        n = grid.mean.shape[0]
+        parts = [_objective_grad_hess_one(jax.tree.map(lambda x: x[i], grid),
+                                          width, height, spts, smask, pose)
+                 for i in range(n)]
+        return tuple(sum(p[k] for p in parts) / n for k in range(3))
+    return _objective_grad_hess_one(grid, width, height, spts, smask, pose)
+
+
+def _objective_grad_hess_one(grid: ndt_grid.NDTGrid, width: int, height: int,
+                             spts, smask, pose):
     """(f, grad [3], hess [3, 3]) of f = -sum of cell scores at ``pose``."""
     c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
     px, py = spts[:, 0], spts[:, 1]
