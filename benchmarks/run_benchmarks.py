@@ -136,15 +136,31 @@ def _mapper_config(grid_cells=192, **kw):
                         max_points_per_scan=512, **kw)
 
 
-def bench_config2(quick: bool) -> dict:
-    """Rolling local mapping: 200-scan corridor, no loop closure (config 2)."""
+def bench_config2(quick: bool, high_accuracy: bool = False) -> dict:
+    """Rolling local mapping: 200-scan corridor, no loop closure (config 2).
+
+    high_accuracy=True (config 8) turns on the beyond-parity accuracy stack:
+    Biber 4-overlapping-grids scoring + Newton sub-lattice polish.
+    """
     from ndt_2d_tpu.io import bag as bag_mod
     from ndt_2d_tpu.mapping.mapper import Mapper
     from ndt_2d_tpu.utils import metrics
 
+    import dataclasses as dc
+
     n = 60 if quick else 200
     bag = bag_mod.record_synthetic("corridor", n, n_beams=600, seed=0)
-    mapper = Mapper(_mapper_config(loop_closure_every=10**9))
+    cfg = _mapper_config(loop_closure_every=10**9)
+    if high_accuracy:
+        cfg = dc.replace(
+            cfg,
+            local_scan_matcher=dc.replace(cfg.local_scan_matcher,
+                                          overlapping_grids=True,
+                                          refine_iterations=10),
+            global_scan_matcher=dc.replace(cfg.global_scan_matcher,
+                                           overlapping_grids=True,
+                                           refine_iterations=10))
+    mapper = Mapper(cfg)
 
     est, used_truth, times = [], [], []
     for t, (msg, odom) in enumerate(bag):
@@ -191,8 +207,9 @@ def bench_config2(quick: bool) -> dict:
     jax.block_until_ready(chain(pose0))
     t_dev = (time.perf_counter() - t0) / K
     return {
-        "config": 2,
-        "name": "rolling_mapping_corridor",
+        "config": 8 if high_accuracy else 2,
+        "name": ("rolling_mapping_corridor_high_accuracy" if high_accuracy
+                 else "rolling_mapping_corridor"),
         "scans": n,
         "accepted": len(est),
         "ate_rmse_m": round(ate, 4),
@@ -538,7 +555,9 @@ BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            # extra (beyond the 5 driver configs): descriptor-mode full SLAM
            6: lambda quick: bench_config3(quick, loop_search="descriptor"),
            # extra: global relocalization from zero prior
-           7: bench_config7}
+           7: bench_config7,
+           # extra: high-accuracy mapping (overlapping grids + Newton polish)
+           8: lambda quick: bench_config2(quick, high_accuracy=True)}
 
 
 def main(argv=None) -> int:
