@@ -302,6 +302,33 @@ def cmd_viz(args) -> int:
     return 0
 
 
+def cmd_merge_maps(args) -> int:
+    from ndt_2d_tpu.io import serialization
+    from ndt_2d_tpu.mapping import merge
+
+    ga = serialization.load_graph(args.map_a, args.max_points)
+    gb = serialization.load_graph(args.map_b, args.max_points)
+    try:
+        res = merge.merge_maps(ga, gb, range_max=args.max_range,
+                               min_similarity=args.min_similarity,
+                               score_threshold=args.score_threshold,
+                               top_k=args.top_k)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    serialization.save_graph(res.graph, args.out)
+    print(json.dumps({
+        "out": args.out,
+        "scans": res.graph.num_scans,
+        "constraints": res.graph.num_constraints,
+        "cross_constraints": res.pairs_accepted,
+        "pairs_checked": res.pairs_checked,
+        "transform_b_to_a": [round(float(v), 4) for v in res.transform],
+        "optimized": res.optimized,
+    }))
+    return 0
+
+
 def cmd_info(args) -> int:
     from ndt_2d_tpu.io import serialization
     g = serialization.load_graph(args.map, 512)
@@ -432,6 +459,22 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="inspect a saved map")
     p.add_argument("--map", required=True)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("merge-maps",
+                       help="align and fuse two saved maps (descriptor "
+                            "search + full-heading NDT registration + joint "
+                            "solve); no reference equivalent")
+    p.add_argument("--map-a", required=True, help="base map (keeps its frame)")
+    p.add_argument("--map-b", required=True, help="map merged into A's frame")
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-range", type=float, default=15.0)
+    p.add_argument("--max-points", type=int, default=512)
+    p.add_argument("--top-k", type=int, default=10,
+                   help="descriptor candidate pairs to confirm")
+    p.add_argument("--min-similarity", type=float, default=0.9)
+    p.add_argument("--score-threshold", type=float, default=-0.25,
+                   help="NDT accept gate for cross-map matches")
+    p.set_defaults(fn=cmd_merge_maps)
 
     p = sub.add_parser("serve", help="live scan server (the node analog): "
                                      "scans in over a socket, pose out, "

@@ -60,6 +60,39 @@ class TestShardedMatcher:
                                    np.asarray(ref.covariance), rtol=1e-3,
                                    atol=1e-6)
 
+    def test_overlapping_grids_match_single_device(self, world_setup):
+        """The angle-sharded matcher works over a stacked overlapping-grids
+        NDT (replicated like a single grid; candidate_scores dispatches on
+        the stacked leading axis)."""
+        import dataclasses
+
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        m, qpts, qmask = world_setup
+        ocfg = dataclasses.replace(MCFG, overlapping_grids=True)
+        om = NDTScanMatcher(ocfg, range_max=15.0)
+        om.grid = None
+        # Rebuild the same window with overlapping grids.
+        world = sim.make_box_world(10.0, 8.0)
+        poses = np.asarray([[4.8, 3.9, 0.0], [5.0, 4.0, 0.05],
+                            [5.2, 4.1, -0.05]], np.float32)
+        pts, msk = [], []
+        for p in poses:
+            msg = sim.scan_at_pose(world, p, n_beams=360, range_max=15.0)
+            a, b = sim.project_scan(msg, 512)
+            pts.append(a)
+            msk.append(b)
+        om.add_scans(poses, np.stack(pts), np.stack(msk))
+        n = int(qmask.sum())
+        pose = jnp.asarray([5.02, 3.98, 0.01], jnp.float32)
+        ref = om.match_scan(qpts, qmask, n, pose)
+        mesh = mesh_mod.make_mesh(8)
+        out = pmatcher.match_scan_multichip(
+            ocfg, mesh, om.grid, jnp.asarray(qpts), jnp.asarray(qmask),
+            jnp.int32(n), pose)
+        assert float(out.score) == pytest.approx(float(ref.score), abs=1e-5)
+        np.testing.assert_allclose(np.asarray(out.correction),
+                                   np.asarray(ref.correction), atol=1e-6)
+
     def test_single_axis_mesh(self, world_setup):
         m, qpts, qmask = world_setup
         n = int(qmask.sum())
