@@ -545,8 +545,10 @@ def bench_config7(quick: bool) -> dict:
         "scans": n,
         "initial_spread_var_m2": round(initial_spread, 3),
         "converged_at_scan": converged_at,
-        "final_pos_err_m": round(float(np.mean(errs[-3:])), 4),
-        "scan_ms_median": round(float(np.median(times[2:])) * 1e3, 2),
+        "final_pos_err_m": (round(float(np.mean(errs[-3:])), 4)
+                            if errs else None),
+        "scan_ms_median": (round(float(np.median(times[2:])) * 1e3, 2)
+                           if len(times) > 2 else None),
     }
 
 

@@ -180,11 +180,25 @@ class Graph:
 
 def make_constraint_np(graph: Graph, begin: int, end: int,
                        covariance: np.ndarray,
-                       switchable: bool = False) -> None:
-    """makeConstraint (src/constraint.cpp:35-56) directly into the graph."""
-    pa, pb = graph.poses[begin], graph.poses[end]
+                       switchable: bool = False,
+                       measured_end_pose=None) -> None:
+    """makeConstraint (src/constraint.cpp:35-56) directly into the graph.
+
+    ``measured_end_pose`` overrides the graph's current estimate of ``end``
+    as the measurement source (cross-session merge constraints encode the
+    registered pose, not the estimate); its angle delta is normalized since
+    cross-session headings can differ by up to pi (the reference keeps the
+    raw difference for its small in-session deltas).
+    """
+    pa = graph.poses[begin]
+    if measured_end_pose is None:
+        pb = graph.poses[end]
+        dth = pb[2] - pa[2]
+    else:
+        pb = np.asarray(measured_end_pose, np.float64)
+        dth = float(np.arctan2(np.sin(pb[2] - pa[2]), np.cos(pb[2] - pa[2])))
     dx, dy = pb[0] - pa[0], pb[1] - pa[1]
     c, s = np.cos(pa[2]), np.sin(pa[2])
-    transform = np.asarray([c * dx + s * dy, -s * dx + c * dy, pb[2] - pa[2]])
+    transform = np.asarray([c * dx + s * dy, -s * dx + c * dy, dth])
     information = np.linalg.inv(np.asarray(covariance, np.float64))
     graph.add_constraint(begin, end, transform, information, switchable)

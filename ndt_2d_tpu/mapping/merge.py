@@ -43,9 +43,14 @@ def _round32(x: float) -> int:
     return int(-(-x // 32) * 32)
 
 
-def _coarse_config(range_max: float) -> ScanMatcherConfig:
-    """Full-heading coarse lattice for cross-session registration."""
-    span = 12.0 + 2.0 * range_max  # 7-scan window spread + range padding
+def _coarse_config(range_max: float, window_span: float) -> ScanMatcherConfig:
+    """Full-heading coarse lattice for cross-session registration.
+
+    Grids are sized from the actual confirmation-window pose spread (sparse
+    keyframes can spread a 7-scan window arbitrarily wide) — a hardcoded
+    span would abort the merge with a capacity error on such maps.
+    """
+    span = window_span + 4.0 + 2.0 * range_max
     cells = _round32(span / 0.5)
     return ScanMatcherConfig(
         ndt_resolution=0.5, search_linear_size=2.0,
@@ -54,8 +59,8 @@ def _coarse_config(range_max: float) -> ScanMatcherConfig:
         grid_cells_x=cells, grid_cells_y=cells)
 
 
-def _fine_config(range_max: float) -> ScanMatcherConfig:
-    span = 12.0 + 2.0 * range_max
+def _fine_config(range_max: float, window_span: float) -> ScanMatcherConfig:
+    span = window_span + 4.0 + 2.0 * range_max
     cells = _round32(span / 0.25)
     return ScanMatcherConfig(grid_cells_x=cells, grid_cells_y=cells)
 
@@ -124,25 +129,46 @@ def merge_maps(graph_a: Graph, graph_b: Graph, range_max: float,
     order = np.argsort(sims, axis=None)[::-1][:top_k]
     pairs = [(int(p // nb), int(p % nb)) for p in order
              if sims.flat[p] >= min_similarity]
+    # Group pairs by A-scan so consecutive pairs sharing a confirmation
+    # window reuse its built NDTs.
+    pairs.sort()
+
+    # Grid extent from the widest actual window (fixed per merge so the
+    # match kernels compile once).
+    window_span = 0.0
+    for i, _ in pairs:
+        poses, _, _, wmask = _window(graph_a, i)
+        wp = poses[wmask]
+        if len(wp):
+            window_span = max(window_span,
+                              float((wp[:, :2].max(0) - wp[:, :2].min(0)).max()))
 
     # 2. Coarse-to-fine confirmation of each pair.
-    coarse = NDTScanMatcher(_coarse_config(range_max), range_max)
-    fine = NDTScanMatcher(_fine_config(range_max), range_max)
+    coarse = NDTScanMatcher(_coarse_config(range_max, window_span), range_max)
+    fine = NDTScanMatcher(_fine_config(range_max, window_span), range_max)
     matches = []  # (i, j, pose_j_in_a [3], covariance [3,3], score)
+    window_i = None
     for i, j in pairs:
         if not graph_a.point_mask[i].any() or not graph_b.point_mask[j].any():
             continue
-        poses, pts, msk, wmask = _window(graph_a, i)
+        if i != window_i:
+            poses, pts, msk, wmask = _window(graph_a, i)
+            try:
+                coarse.add_scans(poses, pts, msk, wmask)
+                fine.add_scans(poses, pts, msk, wmask)
+            except ValueError as e:  # capacity: skip this window, not the merge
+                logger.warning("merge: skipping window around A[%d]: %s", i, e)
+                window_i = None
+                continue
+            window_i = i
         qpts = graph_b.points[j]
         qmask = graph_b.point_mask[j]
         nq = int(qmask.sum())
         # Start at A's candidate position; heading unknown -> the coarse
         # lattice covers the full +-pi range.
         start = graph_a.poses[i].copy()
-        coarse.add_scans(poses, pts, msk, wmask)
         cres = coarse.match_scan(qpts, qmask, nq, start.astype(np.float32))
         start = start + np.asarray(cres.correction, np.float64)
-        fine.add_scans(poses, pts, msk, wmask)
         fres = fine.match_scan(qpts, qmask, nq, start.astype(np.float32))
         score = float(fres.score)
         if np.isfinite(score) and score < score_threshold:
@@ -153,7 +179,12 @@ def merge_maps(graph_a: Graph, graph_b: Graph, range_max: float,
         else:
             logger.info("merge reject A[%d] <- B[%d] score %.3f", i, j, score)
 
-    # 3. Consistency vote on T_ab.
+    # 3. Consistency vote on T_ab.  Consistency is evaluated at each match's
+    # own location — "does transform k predict match m's registered pose?" —
+    # NOT by comparing T translations directly, which would be lever-arm
+    # amplified (a small heading difference times the distance of the
+    # overlap from B's frame origin) and spuriously reject correct matches
+    # on large maps.
     def t_ab(m):
         _, j, pja, _, _ = m
         return np.asarray(pose_ops.compose(
@@ -161,13 +192,17 @@ def merge_maps(graph_a: Graph, graph_b: Graph, range_max: float,
 
     transforms = [t_ab(m) for m in matches]
     best_set = []
-    for k, tk in enumerate(transforms):
-        group = [
-            m for m, t in zip(matches, transforms)
-            if (np.hypot(*(t[:2] - tk[:2])) < consistency_xy
-                and abs(float(pose_ops.normalize_angle(t[2] - tk[2])))
-                < consistency_theta)
-        ]
+    for tk in transforms:
+        jtk = jnp.asarray(tk)
+        group = []
+        for m in matches:
+            _, j, pja, _, _ = m
+            pred = np.asarray(pose_ops.compose(
+                jtk, jnp.asarray(graph_b.poses[j])))
+            if (np.hypot(*(pred[:2] - pja[:2])) < consistency_xy
+                    and abs(float(pose_ops.normalize_angle(
+                        pred[2] - pja[2]))) < consistency_theta):
+                group.append(m)
         if len(group) > len(best_set):
             best_set = group
     if len(best_set) < min_matches:
@@ -200,14 +235,10 @@ def merge_maps(graph_a: Graph, graph_b: Graph, range_max: float,
             bool(graph_b.constraint_switchable[c]))
     # Cross-map constraints encode the MEASURED relative pose (the match),
     # not the current estimate (makeConstraint math, constraint.cpp:35-56).
+    from ndt_2d_tpu.graph.pose_graph import make_constraint_np
     for i, j, pja, cov, _ in best_set:
-        pa = merged.poses[i]
-        dx, dy = pja[0] - pa[0], pja[1] - pa[1]
-        c, s = np.cos(pa[2]), np.sin(pa[2])
-        rel = np.asarray([c * dx + s * dy, -s * dx + c * dy,
-                          float(pose_ops.normalize_angle(pja[2] - pa[2]))])
-        merged.add_constraint(i, na + j, rel, np.linalg.inv(cov),
-                              switchable=True)
+        make_constraint_np(merged, i, na + j, cov, switchable=True,
+                           measured_end_pose=pja)
 
     # 5. Joint solve (gauge-fixed to A's frame at node 0).
     optimized = solver.solve_graph(merged, config.solver)

@@ -497,6 +497,13 @@ def match_scan_rolling(config: ScanMatcherConfig, window: RollingWindow,
     return unc, res.score, res.correction, res.covariance
 
 
+# Module-level jits: stable function identity so repeated add_scans calls hit
+# the trace cache instead of retracing (a fresh jit(vmap(...)) per call would
+# recompile every time — costly through a remote-compile relay).
+_PACK_SINGLE = jax.jit(ndt_grid.packed_cell_table)
+_PACK_MULTI = jax.jit(jax.vmap(ndt_grid.packed_cell_table))
+
+
 class NDTScanMatcher:
     """Host-side stateful wrapper mirroring the ScanMatcher plugin interface.
 
@@ -534,9 +541,8 @@ class NDTScanMatcher:
         self.grid = build_window_ndt(self.config, poses, jnp.asarray(points),
                                      jnp.asarray(point_mask), window_mask,
                                      self.range_max)
-        pack = (jax.vmap(ndt_grid.packed_cell_table)
-                if is_multi_grid(self.grid) else ndt_grid.packed_cell_table)
-        self.packed_table = jax.jit(pack)(self.grid)
+        pack = (_PACK_MULTI if is_multi_grid(self.grid) else _PACK_SINGLE)
+        self.packed_table = pack(self.grid)
 
     def match_scan(self, points, point_mask, num_points, pose) -> MatchResult:
         if self.grid is None:  # "Scans must be added first" (:80)
