@@ -177,6 +177,14 @@ class MapperConfig:
     # host loop is single-threaded and deterministic instead.
     loop_closure_every: int = 5
 
+    # Confirm all loop-closure candidates of a scan in ONE vmapped device
+    # dispatch (matching.matcher.match_scan_batch) instead of the reference's
+    # per-candidate rebuild-NDT + match loop (ndt_mapper.cpp:623-663).
+    # Semantically equivalent to the sequential path (tests/test_mapper_e2e
+    # pins it); False = per-candidate dispatches, kept for plugin matchers
+    # and as the equivalence oracle.
+    batch_loop_closure: bool = True
+
     # Loop-closure candidate source: "radius" = barycenter radius search
     # (Graph::findNearest parity, graph.cpp:167-189); "descriptor" =
     # appearance-based cosine correlation over rotation-invariant keyframe

@@ -19,6 +19,42 @@ import numpy as np
 from ndt_2d_tpu.utils.sim import LaserScanMsg
 
 
+def detect_inverted(quaternion) -> bool:
+    """Auto-detect an upside-down laser from the robot->laser rotation.
+
+    The reference flags the laser as inverted when the TF quaternion has a
+    significant roll/pitch component: |q.x| > 0.02 or |q.y| > 0.02
+    (src/ndt_mapper.cpp:278-283).
+
+    Args:
+      quaternion: (x, y, z, w) robot->laser rotation.
+    """
+    q = np.asarray(quaternion, np.float64)
+    return bool(abs(q[0]) > 0.02 or abs(q[1]) > 0.02)
+
+
+def quaternion_yaw(quaternion) -> float:
+    """Yaw of an (x, y, z, w) quaternion (tf2::getYaw used by the
+    reference's fromMsg converters, include/ndt_2d/conversions.hpp:40-62)."""
+    x, y, z, w = np.asarray(quaternion, np.float64)
+    return float(np.arctan2(2.0 * (w * z + x * y),
+                            1.0 - 2.0 * (y * y + z * z)))
+
+
+def extrinsic_from_transform(translation, quaternion):
+    """Derive the 2D laser extrinsic + inverted flag from a 3D transform.
+
+    Mirrors the reference's first-scan laser setup (ndt_mapper.cpp:271-290):
+    ``laser_transform = fromMsg(t)`` keeps (x, y, yaw); the roll/pitch
+    content of the quaternion only feeds the inverted-laser heuristic.
+
+    Returns ((x, y, yaw) ndarray, inverted bool).
+    """
+    t = np.asarray(translation, np.float64)
+    return (np.asarray([t[0], t[1], quaternion_yaw(quaternion)]),
+            detect_inverted(quaternion))
+
+
 def project_scan(msg: LaserScanMsg,
                  range_max: float,
                  laser_transform: np.ndarray = np.zeros(3),

@@ -66,8 +66,21 @@ class ScanResult:
 class Mapper:
     def __init__(self, config: MapperConfig = MapperConfig(),
                  graph: Optional[pose_graph.Graph] = None,
-                 laser_transform=np.zeros(3), laser_inverted: bool = False,
-                 seed: int = 0):
+                 laser_transform=np.zeros(3),
+                 laser_inverted: Optional[bool] = None,
+                 laser_rotation=None, seed: int = 0):
+        """Args (laser extrinsic, mirroring the reference's first-scan TF
+        lookup, ndt_mapper.cpp:271-290):
+          laser_transform: (x, y, theta) robot->laser 2D extrinsic.
+          laser_rotation: optional full (x, y, z, w) robot->laser rotation
+            quaternion.  When given, the yaw overrides laser_transform[2]
+            and an upside-down mount is AUTO-DETECTED the way the reference
+            does from the TF quaternion (|q.x| or |q.y| > 0.02,
+            ndt_mapper.cpp:278-283).
+          laser_inverted: explicit override of the mirrored-laser branch;
+            None (default) = auto-detect from laser_rotation (False if no
+            rotation given).
+        """
         self.config = config
         self.enable_mapping = config.enable_mapping
         self.use_particle_filter = config.use_particle_filter
@@ -78,7 +91,17 @@ class Mapper:
             config.max_points_per_scan, config.use_barycenter)
 
         self.laser_transform = np.asarray(laser_transform, np.float64)
-        self.laser_inverted = laser_inverted
+        if laser_rotation is not None:
+            xy_yaw, detected = laser.extrinsic_from_transform(
+                np.concatenate([self.laser_transform[:2], [0.0]]),
+                laser_rotation)
+            self.laser_transform = xy_yaw
+            if laser_inverted is None and detected:
+                logger.warning("Treating laser as inverted")
+            self.laser_inverted = (detected if laser_inverted is None
+                                   else laser_inverted)
+        else:
+            self.laser_inverted = bool(laser_inverted)
 
         self.local_matcher = None
         self.global_matcher = None
@@ -517,8 +540,7 @@ class Mapper:
             self.global_scans_processed = depth + 1
 
         added = 0
-        new_matches = False
-        desc_table = None
+        desc_table = desc_valid = None
         if self.config.loop_search == "descriptor" and num_scans:
             # Appearance-based candidates: batched rotation-invariant
             # descriptors + cosine top-k (ndt_2d_tpu.parallel.loop_search).
@@ -531,100 +553,16 @@ class Mapper:
             desc_valid = np.arange(g.points_padded.shape[0]) < num_scans
         while self.global_scans_processed < num_scans:
             idx = self.global_scans_processed
-            rolling = idx - depth
-            if desc_table is not None:
-                from ndt_2d_tpu.parallel import loop_search
-                # Exclude i >= idx - depth: findNearest's limit_scan_index
-                # semantics (graph.cpp:181, candidates strictly below the
-                # rolling window).
-                cand_idx, cand_sim = loop_search.search_dense(
-                    desc_table, desc_valid, idx,
-                    k=self.config.global_search_limit,
-                    rolling_exclude=depth + 1)
-                cand_idx = np.asarray(cand_idx)
-                cand_sim = np.asarray(cand_sim)
-                keep = (np.isfinite(cand_sim)
-                        & (cand_sim >= self.config.descriptor_min_similarity))
-                candidates = cand_idx[keep]
-            else:
-                query = (g.barycenters()[idx] if g.use_barycenter
-                         else g.poses[idx, :2])
-                candidates = g.find_nearest(
-                    query, self.config.global_search_size, rolling)
-
-            checks_left = self.config.global_search_limit
-            for i in candidates:
-                i = int(i)
-                if not g.point_mask[i].any():
-                    continue  # skip point-less scans (ndt_mapper.cpp:625)
-                # Candidate region (ndt_mapper.cpp:627-631).  NOTE the
-                # reference's comment says "one additional scan on either
-                # side" but its code uses end_idx as an EXCLUSIVE iterator
-                # bound, so the region is [i-1, i+1) = {i-1, i} — at most 2
-                # scans.  We reproduce that exactly (padded to a fixed
-                # 2-slot window so the build kernel compiles once).
-                begin_idx = i - 1 if i > 0 else i
-                end_idx = i + 1 if i < rolling else i
-                k = end_idx - begin_idx
-                poses3 = np.zeros((2, 3), np.float32)
-                pts3 = np.zeros((2, g.max_points, 2), np.float32)
-                pmask3 = np.zeros((2, g.max_points), bool)
-                wmask3 = np.zeros(2, bool)
-                poses3[:k] = g.poses[begin_idx:end_idx].astype(np.float32)
-                pts3[:k] = g.points[begin_idx:end_idx]
-                pmask3[:k] = g.point_mask[begin_idx:end_idx]
-                wmask3[:k] = True
-                self.global_matcher.reset()
-                self.global_matcher.add_scans(poses3, pts3, pmask3, wmask3)
-                start = g.poses[idx].copy()
-                n = int(g.point_mask[idx].sum())
-                if desc_table is not None:
-                    # Descriptor candidates are drift-agnostic: coarse-to-
-                    # fine confirmation.  Start at the candidate's position
-                    # (keeping the query's heading) and run the wide coarse
-                    # lattice, so the fine window below only has to cover
-                    # the coarse quantization, not the odometry drift.
-                    start[:2] = g.poses[i, :2]
-                    self.coarse_matcher.reset()
-                    self.coarse_matcher.add_scans(poses3, pts3, pmask3,
-                                                  wmask3)
-                    coarse = self.coarse_matcher.match_scan(
-                        g.points[idx], g.point_mask[idx], n,
-                        start.astype(np.float32))
-                    start = start + np.asarray(coarse.correction, np.float64)
-                res = self.global_matcher.match_scan(
-                    g.points[idx], g.point_mask[idx], n,
-                    start.astype(np.float32))
-                score = float(res.score)
-                if np.isfinite(score) and score < self.typical_matcher_response:
-                    new_matches = True
-                    added += 1
-                    self.stats.loop_closures_accepted += 1
-                    logger.info("***Adding loop closure from %d to %d (score %f)",
-                                i, idx, score)
-                    new_pose = start + np.asarray(res.correction, np.float64)
-                    poses = g.poses.copy()
-                    poses[idx] = new_pose
-                    g.set_poses(poses)
-                    pose_graph.make_constraint_np(
-                        g, i, idx, np.asarray(res.covariance, np.float64),
-                        switchable=True)
-                    self.map_update_available = True
-                    # The corrected pose may sit inside the device rolling
-                    # window; force a rebuild from the graph.
-                    self._window_synced = -1
-                else:
-                    self.stats.loop_closures_rejected += 1
-                    logger.info("***Rejecting loop closure from %d to %d (score %f)",
-                                i, idx, score)
-                checks_left -= 1
-                if checks_left == 0:
-                    break
+            with self.stats.timer.section("loop_closure"):
+                candidates = self._loop_candidates(idx, desc_table,
+                                                   desc_valid)
+                if candidates:
+                    added += self._confirm_candidates(idx, candidates)
             self.global_scans_processed += 1
 
         # Optimization cadence (ndt_mapper.cpp:676-683).
-        if new_matches and (num_scans - self.optimization_last
-                            > self.config.optimization_node_limit):
+        if added and (num_scans - self.optimization_last
+                      > self.config.optimization_node_limit):
             logger.info("Optimizing pose graph")
             with self.stats.timer.section("optimize"):
                 solver.solve_graph(g, self.config.solver)
@@ -633,6 +571,218 @@ class Mapper:
             self.map_update_available = True
             self._window_synced = -1  # optimized poses invalidate the window
         return added
+
+    # --- loop-closure internals ------------------------------------------
+    def _loop_candidates(self, idx: int, desc_table, desc_valid) -> list:
+        """Candidate scan ids for a loop closure of scan ``idx``, ordered,
+        point-less scans dropped (ndt_mapper.cpp:625), capped at
+        global_search_limit (the reference's checks_left budget,
+        ndt_mapper.cpp:619,665-668 — equivalent here because candidates that
+        would be skipped never enter the list)."""
+        g = self.graph
+        rolling = idx - self.config.rolling_depth
+        if desc_table is not None:
+            from ndt_2d_tpu.parallel import loop_search
+            # Exclude i >= idx - depth: findNearest's limit_scan_index
+            # semantics (graph.cpp:181, candidates strictly below the
+            # rolling window).
+            cand_idx, cand_sim = loop_search.search_dense(
+                desc_table, desc_valid, idx,
+                k=self.config.global_search_limit,
+                rolling_exclude=self.config.rolling_depth + 1)
+            cand_idx = np.asarray(cand_idx)
+            cand_sim = np.asarray(cand_sim)
+            keep = (np.isfinite(cand_sim)
+                    & (cand_sim >= self.config.descriptor_min_similarity))
+            candidates = cand_idx[keep]
+        else:
+            query = (g.barycenters()[idx] if g.use_barycenter
+                     else g.poses[idx, :2])
+            candidates = g.find_nearest(
+                query, self.config.global_search_size, rolling)
+        out = [int(i) for i in candidates if g.point_mask[int(i)].any()]
+        return out[:self.config.global_search_limit]
+
+    def _candidate_window(self, i: int, rolling: int):
+        """The candidate's 2-slot scan region (ndt_mapper.cpp:627-631).
+
+        NOTE the reference's comment says "one additional scan on either
+        side" but its code uses end_idx as an EXCLUSIVE iterator bound, so
+        the region is [i-1, i+1) = {i-1, i} — at most 2 scans.  We reproduce
+        that exactly (padded to a fixed 2-slot window so the build kernel
+        compiles once)."""
+        g = self.graph
+        begin_idx = i - 1 if i > 0 else i
+        end_idx = i + 1 if i < rolling else i
+        k = end_idx - begin_idx
+        poses2 = np.zeros((2, 3), np.float32)
+        pts2 = np.zeros((2, g.max_points, 2), np.float32)
+        pmask2 = np.zeros((2, g.max_points), bool)
+        wmask2 = np.zeros(2, bool)
+        poses2[:k] = g.poses[begin_idx:end_idx].astype(np.float32)
+        pts2[:k] = g.points[begin_idx:end_idx]
+        pmask2[:k] = g.point_mask[begin_idx:end_idx]
+        wmask2[:k] = True
+        return poses2, pts2, pmask2, wmask2
+
+    def _apply_gate(self, idx: int, i: int, start, score: float, correction,
+                    covariance) -> bool:
+        """Acceptance gate + graph update for one confirmed candidate
+        (ndt_mapper.cpp:645-668).  Shared by the sequential and batched
+        confirmation paths so their semantics cannot drift."""
+        g = self.graph
+        if np.isfinite(score) and score < self.typical_matcher_response:
+            self.stats.loop_closures_accepted += 1
+            logger.info("***Adding loop closure from %d to %d (score %f)",
+                        i, idx, score)
+            new_pose = start + np.asarray(correction, np.float64)
+            poses = g.poses.copy()
+            poses[idx] = new_pose
+            g.set_poses(poses)
+            pose_graph.make_constraint_np(
+                g, i, idx, np.asarray(covariance, np.float64),
+                switchable=True)
+            self.map_update_available = True
+            # The corrected pose may sit inside the device rolling window;
+            # force a rebuild from the graph.
+            self._window_synced = -1
+            return True
+        self.stats.loop_closures_rejected += 1
+        logger.info("***Rejecting loop closure from %d to %d (score %f)",
+                    i, idx, score)
+        return False
+
+    def _confirm_candidates(self, idx: int, candidates: list) -> int:
+        """Confirm the candidates of scan ``idx``; returns closures added."""
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        fused = (self.config.batch_loop_closure
+                 and isinstance(self.global_matcher, NDTScanMatcher)
+                 and (self.coarse_matcher is None
+                      or isinstance(self.coarse_matcher, NDTScanMatcher)))
+        if fused:
+            return self._confirm_candidates_batched(idx, candidates)
+        return self._confirm_candidates_sequential(idx, candidates)
+
+    def _confirm_candidates_sequential(self, idx: int,
+                                       candidates: list) -> int:
+        """Reference-shaped path: per candidate, rebuild the global matcher's
+        NDT and match (ndt_mapper.cpp:623-663).  Kept for plugin matchers and
+        as the equivalence oracle for the batched path."""
+        g = self.graph
+        rolling = idx - self.config.rolling_depth
+        n = int(g.point_mask[idx].sum())
+        added = 0
+        for i in candidates:
+            poses2, pts2, pmask2, wmask2 = self._candidate_window(i, rolling)
+            self.global_matcher.reset()
+            self.global_matcher.add_scans(poses2, pts2, pmask2, wmask2)
+            start = g.poses[idx].copy()
+            if self.coarse_matcher is not None:
+                # Descriptor candidates are drift-agnostic: coarse-to-fine
+                # confirmation.  Start at the candidate's position (keeping
+                # the query's heading) and run the wide coarse lattice, so
+                # the fine window below only has to cover the coarse
+                # quantization, not the odometry drift.
+                start[:2] = g.poses[i, :2]
+                self.coarse_matcher.reset()
+                self.coarse_matcher.add_scans(poses2, pts2, pmask2, wmask2)
+                coarse = self.coarse_matcher.match_scan(
+                    g.points[idx], g.point_mask[idx], n,
+                    start.astype(np.float32))
+                start = start + np.asarray(coarse.correction, np.float64)
+            res = self.global_matcher.match_scan(
+                g.points[idx], g.point_mask[idx], n, start.astype(np.float32))
+            added += int(self._apply_gate(idx, i, start, float(res.score),
+                                          np.asarray(res.correction),
+                                          np.asarray(res.covariance)))
+        return added
+
+    def _confirm_candidates_batched(self, idx: int, candidates: list) -> int:
+        """TPU-shaped path: ALL candidate windows build + match as one
+        vmapped dispatch, fetched once (matching.matcher.match_scan_batch;
+        coarse-to-fine fuses into the same dispatch in descriptor mode).
+
+        The reference's analog is K sequential rebuild+match rounds
+        (ndt_mapper.cpp:623-663); here a whole confirmation pass costs one
+        device round-trip regardless of K.  Exact sequential semantics are
+        preserved: if a mid-batch acceptance moves the scan pose, the
+        remaining candidates re-match from the corrected pose (rare — one
+        extra dispatch per acceptance)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.matching import matcher as matcher_mod
+        g = self.graph
+        rolling = idx - self.config.rolling_depth
+        K = len(candidates)
+        # Power-of-two bucket (min 4) keeps the jit signature set tiny.
+        pad = max(4, 1 << (K - 1).bit_length())
+        poses = np.zeros((pad, 2, 3), np.float32)
+        pts = np.zeros((pad, 2, g.max_points, 2), np.float32)
+        pmask = np.zeros((pad, 2, g.max_points), bool)
+        wmask = np.zeros((pad, 2), bool)
+        starts = np.zeros((pad, 3), np.float64)
+        descriptor = self.coarse_matcher is not None
+        for j, i in enumerate(candidates):
+            poses[j], pts[j], pmask[j], wmask[j] = \
+                self._candidate_window(i, rolling)
+            st = g.poses[idx].copy()
+            if descriptor:
+                st[:2] = g.poses[i, :2]
+            starts[j] = st
+
+        self._check_batch_capacity(poses, wmask)
+
+        n = int(g.point_mask[idx].sum())
+        qpts = jnp.asarray(g.points[idx], jnp.float32)
+        qmask = jnp.asarray(g.point_mask[idx])
+        args = (jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
+                jnp.asarray(wmask), jnp.float32(self.range_max), qpts, qmask,
+                jnp.int32(n), jnp.asarray(starts, jnp.float32))
+        if descriptor:
+            out = matcher_mod.match_scan_batch_coarse_fine(
+                self.coarse_matcher.config, self.global_matcher.config, *args)
+            fine_starts, scores, corrs, covs = jax.device_get(out)
+            starts = np.asarray(fine_starts, np.float64)
+        else:
+            out = matcher_mod.match_scan_batch(
+                self.global_matcher.config, *args)
+            scores, corrs, covs = jax.device_get(out)
+
+        added = 0
+        for j, i in enumerate(candidates):
+            ok = self._apply_gate(idx, i, starts[j], float(scores[j]),
+                                  corrs[j], covs[j])
+            if ok:
+                added += 1
+                if j + 1 < K:
+                    # The acceptance moved g.poses[idx]; the sequential path
+                    # would match the remaining candidates from the corrected
+                    # pose.  Re-batch just those.
+                    added += self._confirm_candidates_batched(
+                        idx, candidates[j + 1:])
+                    return added
+        return added
+
+    def _check_batch_capacity(self, poses, wmask) -> None:
+        """Static-grid capacity check over all candidate windows (the same
+        check NDTScanMatcher.add_scans runs per window)."""
+        cfgs = [self.global_matcher.config]
+        if self.coarse_matcher is not None:
+            cfgs.append(self.coarse_matcher.config)
+        for w in range(poses.shape[0]):
+            wp = poses[w][wmask[w]]
+            if not len(wp):
+                continue
+            span = wp[:, :2].max(0) - wp[:, :2].min(0) + 2 * self.range_max
+            for cfg in cfgs:
+                need = np.ceil(span / cfg.ndt_resolution) + 1
+                if need[0] > cfg.grid_cells_x or need[1] > cfg.grid_cells_y:
+                    raise ValueError(
+                        f"loop-closure candidate window needs {need} cells "
+                        f"> static grid ({cfg.grid_cells_x}, "
+                        f"{cfg.grid_cells_y}); increase "
+                        "scan matcher grid_cells_*")
 
     def optimize(self) -> bool:
         """Force a pose-graph optimization."""

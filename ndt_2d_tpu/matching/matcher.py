@@ -470,6 +470,65 @@ def window_append(window: RollingWindow, pose, points,
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def match_scan_batch(config: ScanMatcherConfig, poses, points, point_mask,
+                     window_mask, range_max, scan_points, scan_mask,
+                     num_points, start_poses):
+    """Loop-closure confirmation: K candidate-window builds + matches in ONE
+    dispatch.
+
+    The reference confirms loop-closure candidates one at a time — per
+    candidate it rebuilds the global matcher's NDT from a 2-scan region and
+    runs the exhaustive search (src/ndt_mapper.cpp:623-663).  Here all K
+    candidate windows build and match as a single vmapped device program, so
+    a whole loop-closure pass costs one dispatch + one fetch regardless of K
+    (two in descriptor mode: coarse then fine).
+
+    Args:
+      poses: [K, S, 3] candidate-window scan poses (S = region size, 2 for
+        reference parity); points: [K, S, P, 2]; point_mask: [K, S, P];
+      window_mask: [K, S] (all-False rows are padding: their empty grids
+        score 0 and never pass the acceptance gate);
+      scan_points / scan_mask / num_points: the ONE query scan, shared by
+        every candidate; start_poses: [K, 3] per-candidate start pose.
+    Returns (scores [K], corrections [K, 3], covariances [K, 3, 3]).
+    """
+    def one(p, pt, pm, wm, st):
+        grid = build_window_ndt(config, p, pt, pm, wm, range_max)
+        return match_scan(config, grid, scan_points, scan_mask, num_points,
+                          st, range_max)
+    res = jax.vmap(one)(poses, points, point_mask, window_mask, start_poses)
+    return res.score, res.correction, res.covariance
+
+
+@functools.partial(jax.jit, static_argnames=("coarse_config", "fine_config"))
+def match_scan_batch_coarse_fine(coarse_config: ScanMatcherConfig,
+                                 fine_config: ScanMatcherConfig, poses,
+                                 points, point_mask, window_mask, range_max,
+                                 scan_points, scan_mask, num_points,
+                                 start_poses):
+    """Descriptor-mode confirmation: coarse-to-fine match of K candidate
+    windows fused into ONE dispatch.
+
+    Per candidate: build the coarse NDT, run the wide coarse lattice (to
+    absorb odometry drift), then build the fine NDT and run the fine search
+    from the coarse-corrected start.  Returns (fine_starts [K, 3],
+    scores [K], corrections [K, 3], covariances [K, 3, 3]) where
+    fine_starts = start + coarse correction (the pose the fine correction is
+    relative to).
+    """
+    def one(p, pt, pm, wm, st):
+        cgrid = build_window_ndt(coarse_config, p, pt, pm, wm, range_max)
+        cres = match_scan(coarse_config, cgrid, scan_points, scan_mask,
+                          num_points, st, range_max)
+        st2 = st + cres.correction
+        fgrid = build_window_ndt(fine_config, p, pt, pm, wm, range_max)
+        fres = match_scan(fine_config, fgrid, scan_points, scan_mask,
+                          num_points, st2, range_max)
+        return st2, fres.score, fres.correction, fres.covariance
+    return jax.vmap(one)(poses, points, point_mask, window_mask, start_poses)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def match_scan_with_score(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                           scan_points, scan_mask, num_points, pose,
                           packed_table=None):

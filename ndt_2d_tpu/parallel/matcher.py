@@ -64,7 +64,6 @@ def match_scan_multichip(config: ScanMatcherConfig, mesh,
     spts, smask, used = matcher.subsample(points, point_mask, num_points,
                                           config.laser_max_beams)
 
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
     spec_angles = P(axis)
     replicated = P()
 
@@ -79,13 +78,12 @@ def match_scan_multichip(config: ScanMatcherConfig, mesh,
         cand = jnp.where(valid_blk[:, None, None], cand, 0.0)
         best, corr, k, u, s = matcher.reduce_candidates(cand, dths_blk, dls_)
 
-        # Covariance accumulators sum exactly across shards.
+        # Covariance accumulators sum exactly across shards.  psum only over
+        # the angle axis: values are replicated along any unused mesh axes,
+        # so a psum there would overcount.
         k = jax.lax.psum(k, axis)
         u = jax.lax.psum(u, axis)
         s = jax.lax.psum(s, axis)
-        if other_axes:
-            # Values are replicated along unused axes; psum would overcount.
-            pass
 
         # Global best: gather per-shard (best, correction) and pick the
         # lowest score; ties resolve to the lowest shard id = lowest angle,

@@ -61,3 +61,58 @@ class TestProjection:
         msg = _msg(np.ones(16), inc=0.1)
         pts, mask = laser.project_scan(msg, 10.0, max_points=8)
         assert mask.sum() == 8
+
+
+class TestInvertedDetection:
+    """Auto-detection of an upside-down laser from the mount rotation
+    quaternion (ndt_mapper.cpp:278-283: |q.x| or |q.y| > 0.02)."""
+
+    def test_upright_not_inverted(self):
+        assert not laser.detect_inverted([0.0, 0.0, 0.0, 1.0])
+        # yaw-only rotation is still upright
+        assert not laser.detect_inverted(
+            [0.0, 0.0, np.sin(0.5), np.cos(0.5)])
+
+    def test_rolled_laser_detected(self):
+        # 180deg roll: q = (1, 0, 0, 0)
+        assert laser.detect_inverted([1.0, 0.0, 0.0, 0.0])
+        # slight pitch above threshold
+        assert laser.detect_inverted([0.0, 0.03, 0.0, 0.999])
+        # sub-threshold mount wobble tolerated (the reference's 0.02 gate)
+        assert not laser.detect_inverted([0.015, 0.01, 0.0, 0.999])
+
+    def test_extrinsic_from_transform_yaw(self):
+        yaw = 0.7
+        q = [0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)]
+        xyth, inv = laser.extrinsic_from_transform([0.2, -0.1, 0.3], q)
+        np.testing.assert_allclose(xyth, [0.2, -0.1, yaw], atol=1e-9)
+        assert not inv
+
+    def test_mapper_auto_detects_mirrored_scan(self):
+        """A mapper given the rolled quaternion projects the scan through the
+        mirrored branch — identical to an explicit laser_inverted=True."""
+        from ndt_2d_tpu.config import MapperConfig, ScanMatcherConfig
+        from ndt_2d_tpu.mapping.mapper import Mapper
+
+        cfg = MapperConfig(
+            local_scan_matcher=ScanMatcherConfig(grid_cells_x=64,
+                                                 grid_cells_y=64),
+            max_points_per_scan=64)
+        rolled = [1.0, 0.0, 0.0, 0.0]   # 180deg roll about x
+        m_auto = Mapper(cfg, laser_rotation=rolled)
+        assert m_auto.laser_inverted
+        m_explicit = Mapper(cfg, laser_inverted=True)
+        # Explicit override wins over detection.
+        m_override = Mapper(cfg, laser_rotation=rolled, laser_inverted=False)
+        assert not m_override.laser_inverted
+
+        msg = _msg([1.0, 2.0, 3.0, 4.0], angle_min=-np.pi / 4)
+        msg = LaserScanMsg(ranges=msg.ranges, angle_min=msg.angle_min,
+                           angle_increment=msg.angle_increment,
+                           range_max=10.0)
+        res_a = m_auto.process_scan(msg, np.zeros(3))
+        res_e = m_explicit.process_scan(msg, np.zeros(3))
+        assert res_a.accepted and res_e.accepted
+        np.testing.assert_allclose(
+            m_auto.graph.points[0], m_explicit.graph.points[0], atol=1e-6)
+        assert m_auto.graph.point_mask[0].sum() == 3  # mirrored branch: n-1

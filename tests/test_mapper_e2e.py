@@ -230,6 +230,79 @@ class TestLoopClosure:
         assert ate < 0.25
 
 
+def _office_loop_inputs():
+    """The revisiting office-ring scenario from TestLoopClosure, shared by
+    the batched-vs-sequential equivalence tests."""
+    world = sim.make_office_world(16.0)
+    waypoints = [(2.0, 2.0, 0.0), (14.0, 2.0, np.pi / 2),
+                 (14.0, 14.0, np.pi), (2.0, 14.0, -np.pi / 2),
+                 (2.0, 2.6, 0.0), (8.0, 2.6, 0.0)]
+    traj = []
+    for i in range(len(waypoints) - 1):
+        a = np.asarray(waypoints[i], float)
+        b = np.asarray(waypoints[i + 1], float)
+        seg_len = np.hypot(b[0] - a[0], b[1] - a[1])
+        steps = max(int(seg_len / 0.35), 1)
+        heading = np.arctan2(b[1] - a[1], b[0] - a[0])
+        for s in range(steps):
+            f = s / steps
+            traj.append([a[0] + f * (b[0] - a[0]),
+                         a[1] + f * (b[1] - a[1]), heading])
+    truth = np.asarray(traj)
+    odom = sim.drift_odometry(truth, trans_noise=0.006, rot_noise=0.002,
+                              seed=11)
+    return world, truth, odom
+
+
+class TestBatchedLoopClosureEquivalence:
+    """The batched confirmation (one vmapped dispatch for all candidates,
+    matching.matcher.match_scan_batch) must make the same decisions as the
+    reference-shaped per-candidate loop."""
+
+    @pytest.mark.parametrize("loop_search", ["radius", "descriptor"])
+    def test_same_closures_and_poses(self, loop_search):
+        world, truth, odom = _office_loop_inputs()
+        global_mcfg = ScanMatcherConfig(
+            ndt_resolution=0.35, search_linear_size=0.15,
+            search_linear_resolution=0.01, search_angular_size=0.05,
+            grid_cells_x=160, grid_cells_y=160)
+        # optimization_node_limit=10**9 keeps the LM optimizer out of this
+        # comparison: it amplifies f32-round-off start differences
+        # chaotically, and its equivalence isn't the property under test
+        # (TestLoopClosure covers the full closure+optimize flow).
+        base = dataclasses.replace(
+            CFG, global_scan_matcher=global_mcfg,
+            global_search_size=4.0, optimization_node_limit=10**9,
+            loop_search=loop_search, descriptor_min_similarity=0.97)
+
+        results = {}
+        for batched in (False, True):
+            cfg = dataclasses.replace(base, batch_loop_closure=batched)
+            mapper, est, used_truth = run_mapping(world, truth, odom,
+                                                  cfg=cfg, range_max=12.0,
+                                                  n_beams=600)
+            mapper.loop_closure()
+            g = mapper.graph
+            results[batched] = dict(
+                begin=g.constraint_begin.copy(), end=g.constraint_end.copy(),
+                switchable=g.constraint_switchable.copy(),
+                poses=g.poses.copy(),
+                accepted=mapper.stats.loop_closures_accepted,
+                rejected=mapper.stats.loop_closures_rejected)
+
+        seq, bat = results[False], results[True]
+        assert seq["accepted"] >= 1, "scenario must fire at least one closure"
+        assert bat["accepted"] == seq["accepted"]
+        assert bat["rejected"] == seq["rejected"]
+        np.testing.assert_array_equal(bat["begin"], seq["begin"])
+        np.testing.assert_array_equal(bat["end"], seq["end"])
+        np.testing.assert_array_equal(bat["switchable"], seq["switchable"])
+        # Poses agree to float32 round-off (the fused coarse-to-fine path
+        # adds the coarse correction on device in f32; the sequential path
+        # adds it on host in f64).
+        np.testing.assert_allclose(bat["poses"], seq["poses"], atol=1e-5)
+
+
 class TestGlobalRelocalization:
     """Uniform-over-free-space particle init (no reference equivalent: the
     reference requires a manual initialpose after map load)."""
