@@ -255,6 +255,15 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
                      loop_closure_every=20, loop_search=loop_search,
                      minimum_travel_distance=0.3,
                      descriptor_min_similarity=0.97)
+    if loop_search == "descriptor":
+        # Descriptor candidates are drift-agnostic BY DESIGN, so a wrong
+        # correspondence can pass the score gate; the redescending loss on
+        # switchable edges switches such outliers off in the solve (the
+        # "switchable" semantics the reference stores but never uses,
+        # ceres_solver.cpp:159-166).
+        from ndt_2d_tpu.config import SolverConfig
+        cfg = dc.replace(cfg, solver=dc.replace(
+            SolverConfig(), robust_loss="geman_mcclure"))
     mapper = Mapper(cfg)
 
     est, used_truth, times = [], [], []
@@ -262,8 +271,8 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
     for t, (msg, odom) in enumerate(bag):
         t0 = time.perf_counter()
         res = mapper.process_scan(msg, odom)
-        times.append(time.perf_counter() - t0)
-        if res.accepted:
+        if res.accepted:  # motion-gated scans cost microseconds; exclude
+            times.append(time.perf_counter() - t0)
             est.append(res.pose)
             used_truth.append(bag.truth[t])
     mapper.loop_closure()
@@ -276,6 +285,8 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
     # optimized) = the before-optimization trajectory; ate_rmse_m: the final
     # graph after loop closures + LM optimization.
     ate_online = metrics.ate_rmse(np.asarray(est), np.asarray(used_truth))
+    ate_online_al = metrics.ate_rmse_aligned(np.asarray(est),
+                                             np.asarray(used_truth))
     ate = metrics.ate_rmse(final, np.asarray(used_truth))
     ate_al = metrics.ate_rmse_aligned(final, np.asarray(used_truth))
     odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
@@ -292,11 +303,18 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
         "loop_closures_rejected": mapper.stats.loop_closures_rejected,
         "optimizations": mapper.stats.optimizations,
         "ate_online_m": round(ate_online, 4),
+        "ate_online_aligned_m": round(ate_online_al, 4),
         "ate_rmse_m": round(ate, 4),
         "ate_aligned_m": round(ate_al, 4),
         "odom_only_ate_m": round(odom_ate, 4),
         "wall_s": round(wall, 2),
         "scans_per_sec_wall": round(n / wall, 2),
+        # Steady-state per-scan wall time: the mean is dominated by the ONE
+        # first execution of the fused match kernel, which loads through
+        # this environment's remote relay (~minutes; an environment
+        # artifact, not an algorithmic cost).
+        "scan_ms_median": round(
+            float(np.median(np.asarray(times[3:]))) * 1e3, 2),
         # timer section "loop_closure" wraps one scan's candidate search +
         # batched confirmation (≤2 dispatches regardless of K candidates).
         "loop_closure_scan_ms_mean": round(lc.get("mean_ms", 0.0), 2),
@@ -572,6 +590,101 @@ def bench_config7(quick: bool) -> dict:
     }
 
 
+def bench_config9(quick: bool) -> dict:
+    """CARMEN-format dataset end-to-end: import datasets/simlab.clf.gz (the
+    committed lab survey; see benchmarks/make_simlab.py for why it is
+    generated — this build environment has no network egress to fetch the
+    classic Intel/ACES logs), run full SLAM with loop closure on it, export
+    the occupancy grid + viz PNG into benchmarks/.
+
+    Ground truth comes from the separate simlab_truth.npz and is used ONLY
+    for the ATE report; the SLAM pipeline sees just FLASER ranges + drifting
+    odometry, exactly what a real CARMEN log provides.
+    """
+    import dataclasses as dc
+
+    from ndt_2d_tpu.config import ScanMatcherConfig
+    from ndt_2d_tpu.io import carmen
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log = os.path.join(root, "datasets", "simlab.clf.gz")
+    bag = carmen.load_carmen(log, range_max=10.0)
+    truth = np.load(os.path.join(root, "datasets", "simlab_truth.npz"))[
+        "truth"]
+    n = len(bag)
+    if quick:
+        n = min(n, 300)
+
+    global_mcfg = ScanMatcherConfig(
+        ndt_resolution=0.35, search_linear_size=0.15,
+        search_linear_resolution=0.01, search_angular_size=0.05,
+        grid_cells_x=160, grid_cells_y=160)
+    from ndt_2d_tpu.config import SolverConfig
+    cfg = dc.replace(_mapper_config(), global_scan_matcher=global_mcfg,
+                     global_search_size=4.0, optimization_node_limit=10,
+                     loop_closure_every=20, minimum_travel_distance=0.3,
+                     max_range=10.0,
+                     # Loosened gate + redescending loss: admit closures
+                     # within 85% of typical match quality and let the
+                     # solver switch off any wrong one (config.py notes).
+                     loop_closure_gate_scale=0.85,
+                     solver=dc.replace(SolverConfig(),
+                                       robust_loss="geman_mcclure"))
+    mapper = Mapper(cfg)
+
+    est, used_truth, times = [], [], []
+    t_all0 = time.perf_counter()
+    for t in range(n):
+        msg, odom = bag[t]
+        t0 = time.perf_counter()
+        res = mapper.process_scan(msg, odom)
+        if res.accepted:
+            times.append(time.perf_counter() - t0)
+            est.append(res.pose)
+            used_truth.append(truth[t])
+    mapper.loop_closure()
+    wall = time.perf_counter() - t_all0
+    grid = mapper.render_map()
+
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    if not quick:
+        np.savez_compressed(os.path.join(out_dir, "simlab_grid.npz"),
+                            data=grid.data, origin=grid.origin,
+                            resolution=grid.resolution)
+        try:
+            from ndt_2d_tpu.utils import viz
+            viz.save_graph_png(mapper.graph,
+                               os.path.join(out_dir, "simlab_map.png"),
+                               grid=grid)
+        except Exception as e:  # pragma: no cover
+            print(f"viz skipped: {e}", file=sys.stderr)
+
+    final = mapper.graph.poses[:len(used_truth)]
+    ut = np.asarray(used_truth)
+    return {
+        "config": 9,
+        "name": "carmen_simlab_full_slam",
+        "dataset": "datasets/simlab.clf.gz",
+        "scans_in": n,
+        "accepted": len(est),
+        "loop_closures": int(mapper.graph.constraint_switchable.sum()),
+        "loop_closures_rejected": mapper.stats.loop_closures_rejected,
+        "optimizations": mapper.stats.optimizations,
+        "ate_online_m": round(metrics.ate_rmse(np.asarray(est), ut), 4),
+        "ate_rmse_m": round(metrics.ate_rmse(final, ut), 4),
+        "ate_aligned_m": round(metrics.ate_rmse_aligned(final, ut), 4),
+        "odom_only_ate_m": round(metrics.ate_rmse(bag.odom[:n], truth[:n]),
+                                 4),
+        "wall_s": round(wall, 2),
+        "scan_ms_median": round(
+            float(np.median(np.asarray(times[3:]))) * 1e3, 2),
+        "occupied_cells": int((grid.data == 100).sum()),
+        "timing": mapper.stats.timer.summary(),
+    }
+
+
 BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            4: bench_config4, 5: bench_config5,
            # extra (beyond the 5 driver configs): descriptor-mode full SLAM
@@ -579,7 +692,9 @@ BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            # extra: global relocalization from zero prior
            7: bench_config7,
            # extra: high-accuracy mapping (overlapping grids + Newton polish)
-           8: lambda quick: bench_config2(quick, high_accuracy=True)}
+           8: lambda quick: bench_config2(quick, high_accuracy=True),
+           # extra: CARMEN-format dataset end-to-end (committed simlab log)
+           9: bench_config9}
 
 
 def main(argv=None) -> int:

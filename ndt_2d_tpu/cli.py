@@ -280,6 +280,29 @@ def cmd_import_carmen(args) -> int:
     return 0
 
 
+def cmd_import_rosbag2(args) -> int:
+    """One-way migration of a reference (ROS ndt_2d) map file
+    (src/graph.cpp:49-105 format) into the native npz schema."""
+    from ndt_2d_tpu.io import rosbag2, serialization
+    g = rosbag2.import_map(args.bag, args.max_points)
+    serialization.save_graph(g, args.out)
+    print(json.dumps({"out": args.out, "scans": g.num_scans,
+                      "constraints": g.num_constraints,
+                      "loop_closures": int(g.constraint_switchable.sum())}))
+    return 0
+
+
+def cmd_export_rosbag2(args) -> int:
+    """Write a native map as a reference-format rosbag2 directory so the
+    ROS ndt_2d package can load it (src/graph.cpp:107-165 format)."""
+    from ndt_2d_tpu.io import rosbag2, serialization
+    g = serialization.load_graph(args.map, args.max_points)
+    rosbag2.export_map(g, args.out)
+    print(json.dumps({"out": args.out, "scans": g.num_scans,
+                      "constraints": g.num_constraints}))
+    return 0
+
+
 def cmd_viz(args) -> int:
     """Render a saved map (and optional occupancy grid) to PNG — the
     offline analog of the reference's RViz graph/map displays."""
@@ -455,6 +478,25 @@ def main(argv=None) -> int:
                    help="use the robot odometry columns instead of the "
                         "laser pose")
     p.set_defaults(fn=cmd_import_carmen)
+
+    p = sub.add_parser("import-rosbag2",
+                       help="migrate a reference (ROS ndt_2d) rosbag2 map "
+                            "file to the native npz schema")
+    p.add_argument("--bag", required=True,
+                   help="bag directory or .db3 file written by the "
+                        "reference's save_map")
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-points", type=int, default=512)
+    p.set_defaults(fn=cmd_import_rosbag2)
+
+    p = sub.add_parser("export-rosbag2",
+                       help="write a native map as a reference-format "
+                            "rosbag2 directory (loadable by the ROS "
+                            "ndt_2d package)")
+    p.add_argument("--map", required=True)
+    p.add_argument("--out", required=True, help="bag DIRECTORY to create")
+    p.add_argument("--max-points", type=int, default=512)
+    p.set_defaults(fn=cmd_export_rosbag2)
 
     p = sub.add_parser("info", help="inspect a saved map")
     p.add_argument("--map", required=True)

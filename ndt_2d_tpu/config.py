@@ -177,6 +177,17 @@ class MapperConfig:
     # host loop is single-threaded and deterministic instead.
     loop_closure_every: int = 5
 
+    # Loop-closure acceptance gate: accept when
+    # score < loop_closure_gate_scale * EWMA(typical match score).
+    # 1.0 = exact reference behavior (score < typical_matcher_response_,
+    # ndt_mapper.cpp:645).  The EWMA tracks 10-scan rolling-window matches,
+    # which systematically score better (more negative) than any 2-scan
+    # candidate-region NDT can, so the parity gate is conservative; values
+    # < 1.0 (e.g. 0.85) admit candidates within that fraction of typical
+    # quality — pair with solver.robust_loss so a rare wrong closure is
+    # switched off in the optimization instead of corrupting the map.
+    loop_closure_gate_scale: float = 1.0
+
     # Confirm all loop-closure candidates of a scan in ONE vmapped device
     # dispatch (matching.matcher.match_scan_batch) instead of the reference's
     # per-candidate rebuild-NDT + match loop (ndt_mapper.cpp:623-663).

@@ -24,6 +24,15 @@ import numpy as np
 from ndt_2d_tpu.io.bag import ScanBag
 
 
+def _open_text(path: str, mode: str = "rt"):
+    """Open a (possibly gzip-compressed) text log — the public datasets ship
+    as .log.gz / .clf.gz."""
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
 def load_carmen(path: str, fov_degrees: float = 180.0,
                 range_max: float = None, invalid_beyond: float = 79.0,
                 use_laser_pose: bool = True) -> ScanBag:
@@ -40,7 +49,7 @@ def load_carmen(path: str, fov_degrees: float = 180.0,
     ranges_rows = []
     odom_rows = []
     n_beams = None
-    with open(path) as f:
+    with _open_text(path) as f:
         for line in f:
             if not line.startswith("FLASER"):
                 continue
@@ -82,7 +91,7 @@ def load_carmen(path: str, fov_degrees: float = 180.0,
 
 def save_carmen(bag: ScanBag, path: str) -> None:
     """Write a ScanBag as CARMEN FLASER lines (for tooling round-trips)."""
-    with open(path, "w") as f:
+    with _open_text(path, "wt") as f:
         t0 = 0.0
         for t in range(len(bag)):
             r = np.where(np.isnan(bag.ranges[t]), 81.91, bag.ranges[t])

@@ -631,7 +631,9 @@ class Mapper:
         (ndt_mapper.cpp:645-668).  Shared by the sequential and batched
         confirmation paths so their semantics cannot drift."""
         g = self.graph
-        if np.isfinite(score) and score < self.typical_matcher_response:
+        gate = (self.typical_matcher_response
+                * self.config.loop_closure_gate_scale)
+        if np.isfinite(score) and score < gate:
             self.stats.loop_closures_accepted += 1
             logger.info("***Adding loop closure from %d to %d (score %f)",
                         i, idx, score)

@@ -68,6 +68,91 @@ def make_office_world(size: float = 16.0) -> np.ndarray:
     return np.concatenate(segs, axis=0)
 
 
+def wall_with_doors(p0, p1, doors, door_width: float = 0.9) -> np.ndarray:
+    """A straight wall broken by door gaps.
+
+    Args:
+      doors: fractions (0..1) along p0->p1 of each door center.
+    Returns [K, 2, 2] segments.
+    """
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    length = float(np.linalg.norm(p1 - p0))
+    u = (p1 - p0) / length
+    spans = []
+    start = 0.0
+    for f in sorted(doors):
+        c = f * length
+        spans.append((start, c - door_width / 2.0))
+        start = c + door_width / 2.0
+    spans.append((start, length))
+    out = [[p0 + a * u, p0 + b * u] for a, b in spans
+           if min(b, length) - max(a, 0.0) > 1e-6]
+    return np.asarray(out)
+
+
+def make_simlab_world() -> np.ndarray:
+    """A 28 m research-lab floor plan in the spirit of the Intel Research
+    Lab dataset: perimeter offices with doors onto a rectangular ring
+    corridor around a partitioned core block, plus furniture clutter.
+
+    Used by the committed CARMEN-format benchmark dataset
+    (benchmarks/make_simlab.py) — the environment this engine builds in has
+    no network egress, so the classic public logs cannot be fetched; this
+    floor plan exercises the same pipeline (CARMEN import -> SLAM with loop
+    closures -> occupancy export) on data of comparable structure.
+    """
+    s = 28.0
+    segs = [polygon_segments([(0, 0), (s, 0), (s, s), (0, s)])]
+    # Office band walls (y=5 south, y=23 north, x=5 west, x=23 east) with
+    # doors onto the corridor.
+    segs.append(wall_with_doors((5, 5), (23, 5), [0.15, 0.45, 0.8]))
+    segs.append(wall_with_doors((5, 23), (23, 23), [0.2, 0.55, 0.85]))
+    segs.append(wall_with_doors((5, 5), (5, 23), [0.3, 0.7]))
+    segs.append(wall_with_doors((23, 5), (23, 23), [0.35, 0.7]))
+    # Office partitions every ~5.75 m (from the outer wall to the band wall).
+    for x in (9.5, 14.0, 18.5):
+        segs.append(np.asarray([[[x, 0.0], [x, 5.0]]]))
+        segs.append(np.asarray([[[x, s], [x, s - 5.0]]]))
+    for y in (9.5, 14.0, 18.5):
+        segs.append(np.asarray([[[0.0, y], [5.0, y]]]))
+        segs.append(np.asarray([[[s, y], [s - 5.0, y]]]))
+    # Core block with two rooms and doors onto the ring corridor.
+    segs.append(wall_with_doors((9, 9), (19, 9), [0.3]))
+    segs.append(wall_with_doors((9, 19), (19, 19), [0.7]))
+    segs.append(np.asarray([[[9.0, 9.0], [9.0, 19.0]]]))
+    segs.append(np.asarray([[[19.0, 9.0], [19.0, 19.0]]]))
+    segs.append(wall_with_doors((14, 9), (14, 19), [0.5]))
+    # Furniture / clutter boxes (desks, cabinets).
+    clutter = [(2.0, 2.0, 0.8, 0.5), (11.5, 1.5, 1.2, 0.6),
+               (20.5, 3.2, 0.6, 0.6), (25.8, 11.0, 0.5, 1.4),
+               (25.5, 20.0, 0.8, 0.8), (16.0, 25.8, 1.4, 0.5),
+               (6.2, 25.5, 0.6, 0.9), (1.6, 16.5, 0.5, 1.2),
+               (10.5, 11.0, 1.6, 0.7), (16.5, 16.0, 0.7, 1.6),
+               (2.5, 24.3, 0.9, 0.6), (24.6, 24.6, 0.7, 0.7)]
+    for (cx, cy, w, h) in clutter:
+        segs.append(polygon_segments(
+            [(cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h)]))
+    return np.concatenate(segs, axis=0)
+
+
+def resample_polyline(waypoints, step: float) -> np.ndarray:
+    """Resample a waypoint polyline at constant arc-length spacing and derive
+    headings from the direction of travel.  Returns [T, 3] poses."""
+    wp = np.asarray(waypoints, np.float64)
+    deltas = np.diff(wp, axis=0)
+    seg_len = np.hypot(deltas[:, 0], deltas[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    stations = np.arange(0.0, cum[-1], step)
+    xy = np.stack([np.interp(stations, cum, wp[:, i]) for i in (0, 1)],
+                  axis=-1)
+    th = np.zeros(len(xy))
+    d = np.diff(xy, axis=0)
+    th[1:] = np.arctan2(d[:, 1], d[:, 0])
+    th[0] = th[1] if len(th) > 1 else 0.0
+    return np.concatenate([xy, th[:, None]], axis=-1)
+
+
 def raycast(segments: np.ndarray, origin: np.ndarray, angles: np.ndarray,
             range_max: float) -> np.ndarray:
     """Vectorized ray/segment intersection.
