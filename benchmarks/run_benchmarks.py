@@ -176,6 +176,23 @@ def bench_config2(quick: bool, high_accuracy: bool = False) -> dict:
     odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
     odom_al = metrics.ate_rmse_aligned(bag.odom, bag.truth)
 
+    # Pipelined arm (max_inflight=8): device-resident pose chain, no
+    # per-scan host round trip.  Same bag, fresh mapper; the sync run above
+    # already compiled/loaded every kernel, so this measures steady state.
+    pmapper = Mapper(dc.replace(cfg, max_inflight=8))
+    ptimes = []
+    t_pipe0 = time.perf_counter()
+    for t, (msg, odom) in enumerate(bag):
+        t0 = time.perf_counter()
+        res = pmapper.process_scan(msg, odom)
+        if res.accepted:
+            ptimes.append(time.perf_counter() - t0)
+    pmapper.flush()
+    pipe_wall = time.perf_counter() - t_pipe0
+    pipe_ate = metrics.ate_rmse(pmapper.graph.poses[:len(used_truth)],
+                                np.asarray(used_truth))
+    pipe_median = float(np.median(np.asarray(ptimes[3:])))
+
     # Device-only fused step (window NDT build + score + 35k-candidate
     # match): chained inside one jit to exclude per-dispatch relay RTT.
     import jax
@@ -218,6 +235,9 @@ def bench_config2(quick: bool, high_accuracy: bool = False) -> dict:
         "odom_aligned_m": round(odom_al, 4),
         "scan_ms_median": round(float(np.median(steady)) * 1e3, 2),
         "scans_per_sec": round(1.0 / float(np.median(steady)), 2),
+        "pipelined_scan_ms_median": round(pipe_median * 1e3, 2),
+        "pipelined_scans_per_sec_wall": round(len(ptimes) / pipe_wall, 1),
+        "pipelined_ate_rmse_m": round(pipe_ate, 4),
         "fused_step_device_ms": round(t_dev * 1e3, 3),
         "scans_per_sec_device": round(1.0 / t_dev, 1),
         "first_scan_ms": round(times[1] * 1e3, 1) if len(times) > 1 else None,

@@ -103,7 +103,8 @@ def _mapper_config(args):
             kw[f] = v
     for f in ("rolling_depth", "global_search_limit",
               "optimization_node_limit", "loop_closure_every",
-              "max_points_per_scan", "loop_search", "scan_matcher_type"):
+              "max_points_per_scan", "loop_search", "scan_matcher_type",
+              "max_inflight"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -446,6 +447,12 @@ def main(argv=None) -> int:
                        dest="occupancy_threshold")
         p.add_argument("--max-range", type=float, default=None,
                        dest="max_range")
+        p.add_argument("--max-inflight", type=int, default=None,
+                       dest="max_inflight",
+                       help="pipelined mapping: keep the pose chain on "
+                            "device with up to N steps in flight (0 = "
+                            "synchronous per-scan round trips, the default; "
+                            "8 is a good pipelined value)")
         _add_matcher_args(p, "local_scan_matcher")
         _add_matcher_args(p, "global_scan_matcher")
         _add_pf_args(p)

@@ -177,6 +177,19 @@ class MapperConfig:
     # host loop is single-threaded and deterministic instead.
     loop_closure_every: int = 5
 
+    # Pipelined mapping: keep the pose chain device-resident and allow up to
+    # this many mapping steps in flight before blocking on the oldest result
+    # (matching.matcher.mapping_step_async).  0 = synchronous per-scan
+    # round-trips (reference-shaped behavior, the default).  With a value
+    # like 8, per-scan wall time drops from one full host<->device round
+    # trip to the overlap-limited dispatch cost; results (pose, score,
+    # constraint covariance) drain into the graph asynchronously and are
+    # always fully drained before loop closure / optimization / map export /
+    # save, so every downstream consumer sees the same graph as the
+    # synchronous path.  ScanResult.pose is None for deferred scans — read
+    # final poses from the graph (or call Mapper.flush()).
+    max_inflight: int = 0
+
     # Loop-closure acceptance gate: accept when
     # score < loop_closure_gate_scale * EWMA(typical match score).
     # 1.0 = exact reference behavior (score < typical_matcher_response_,

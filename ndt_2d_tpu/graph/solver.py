@@ -323,20 +323,41 @@ def solve_graph(graph, config: SolverConfig, fixed_index: int = 0):
     if graph.num_scans == 0 or graph.num_constraints == 0:
         return False
     n = graph.num_scans
-    use_dense = 3 * n <= config.dense_size_limit
+    c = graph.num_constraints
+    # Pad nodes/constraints to power-of-two buckets so the growing graph
+    # reuses a handful of compiled programs instead of recompiling the whole
+    # LM while_loop at every optimization (each remote compile costs seconds
+    # through this environment's relay; a session optimizes dozens of times).
+    np_ = max(64, 1 << (n - 1).bit_length())
+    cp = max(64, 1 << (c - 1).bit_length())
+    poses = np.zeros((np_, 3), np.float32)
+    poses[:n] = graph.poses
+    begin = np.zeros(cp, np.int32)
+    begin[:c] = graph.constraint_begin
+    end = np.zeros(cp, np.int32)
+    end[:c] = graph.constraint_end
+    transform = np.zeros((cp, 3), np.float32)
+    transform[:c] = graph.constraint_transform
+    information = np.zeros((cp, 3, 3), np.float32)
+    information[:c] = graph.constraint_information
+    cmask = np.arange(cp) < c
+    nmask = np.arange(np_) < n
+    switchable = np.zeros(cp, bool)
+    switchable[:c] = graph.constraint_switchable
+    use_dense = 3 * np_ <= config.dense_size_limit
     res = solve(
         config,
-        jnp.asarray(graph.poses, jnp.float32),
-        jnp.asarray(graph.constraint_begin),
-        jnp.asarray(graph.constraint_end),
-        jnp.asarray(graph.constraint_transform, jnp.float32),
-        jnp.asarray(graph.constraint_information, jnp.float32),
-        jnp.ones(graph.num_constraints, bool),
-        jnp.ones(n, bool),
+        jnp.asarray(poses),
+        jnp.asarray(begin),
+        jnp.asarray(end),
+        jnp.asarray(transform),
+        jnp.asarray(information),
+        jnp.asarray(cmask),
+        jnp.asarray(nmask),
         fixed_index=fixed_index,
         use_dense=use_dense,
-        robust_mask=jnp.asarray(graph.constraint_switchable))
+        robust_mask=jnp.asarray(switchable))
     if not bool(res.success):
         return False
-    graph.set_poses(np.asarray(res.poses, np.float64))
+    graph.set_poses(np.asarray(res.poses[:n], np.float64))
     return True

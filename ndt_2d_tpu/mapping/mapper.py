@@ -132,6 +132,13 @@ class Mapper:
         self._window_mask_host = None
         self._window_synced = -1
         self._range_max_dev = None
+        # Pipelined mapping (config.max_inflight > 0): device-resident pose
+        # chain + FIFO of in-flight (scan_id, device results) not yet drained
+        # into the graph.  _approx_pose dead-reckons odometry-only on the
+        # host for the window capacity check (corrections are cm-scale).
+        self._pending = []
+        self._pose_dev = None
+        self._approx_pose = None
 
     # ------------------------------------------------------------------
     def _ensure_matchers(self, msg_range_max: float) -> None:
@@ -196,6 +203,7 @@ class Mapper:
           pose: (x, y, theta) in map frame; covariance: [3, 3] or diagonal 3;
           odom_pose: current robot pose in the odometry frame.
         """
+        self._drain_all()
         if self.enable_mapping and self.prev_odom_pose_is_initialized:
             logger.warning("Ignoring initial pose, already mapping")
             return False
@@ -377,6 +385,15 @@ class Mapper:
         import jax.numpy as jnp
 
         from ndt_2d_tpu.matching import matcher as matcher_mod
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        if (self.config.max_inflight > 0 and self.graph.num_scans
+                and isinstance(self.local_matcher, NDTScanMatcher)):
+            # NOTE: robot_pose was dead-reckoned from the host pose mirror,
+            # which is stale while results are in flight; the pipelined path
+            # recomputes the motion on device from odometry alone.
+            return self._process_mapping_pipelined(odom_pose, points, mask,
+                                                   num_points)
+        self._drain_all()
         g = self.graph
         uncorrected = 0.0
         matched = 0.0
@@ -467,6 +484,133 @@ class Mapper:
                           matched_score=matched, correction=correction)
 
     # ------------------------------------------------------------------
+    def _process_mapping_pipelined(self, odom_pose, points, mask,
+                                   num_points) -> ScanResult:
+        """Mapping branch with the pose chain ON DEVICE and up to
+        config.max_inflight steps in flight (matcher.mapping_step_async).
+
+        The synchronous branch pays one full host<->device round trip per
+        scan because the next dead-reckoned start pose needs the fetched
+        correction.  Here the composition happens on device, the host never
+        blocks on the result, and (pose, score, covariance) drain into the
+        graph asynchronously — always completely before loop closure,
+        optimization, map export, save, or a mode switch, so downstream
+        consumers see the same graph as the synchronous path.
+        """
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.matching import matcher as matcher_mod
+        g = self.graph
+
+        if self._window is None or self._window_synced != g.num_scans:
+            # Entering the pipeline (or poses changed behind our back via
+            # optimization / load): pending results were drained by whoever
+            # invalidated the window, so host mirrors are exact here.
+            assert not self._pending
+            self._sync_window()
+            self._pose_dev = None
+        if self._pose_dev is None:
+            # (Re)start the device pose chain from the exact host estimate
+            # (first pipelined scan after the sync first-scan path, or after
+            # a drain-and-invalidate).
+            assert not self._pending
+            self._pose_dev = jnp.asarray(self.prev_robot_pose, jnp.float32)
+            self._approx_pose = self.prev_robot_pose.copy()
+        if self._range_max_dev is None:
+            self._range_max_dev = jnp.float32(self.range_max)
+
+        # Odometry motion in the previous ROBOT frame — host-only inputs.
+        odom_pose = np.asarray(odom_pose, np.float64)
+        d = odom_pose[:2] - self.prev_odom_pose[:2]
+        c0, s0 = np.cos(self.prev_odom_pose[2]), np.sin(self.prev_odom_pose[2])
+        delta = np.asarray([c0 * d[0] + s0 * d[1],
+                            -s0 * d[0] + c0 * d[1],
+                            _normalize_angle(odom_pose[2]
+                                             - self.prev_odom_pose[2])])
+
+        # Approximate host pose chain (odometry-composed, no corrections)
+        # for the static-grid capacity check; cm-scale error over the
+        # <= max_inflight undrained scans.
+        ca, sa = np.cos(self._approx_pose[2]), np.sin(self._approx_pose[2])
+        self._approx_pose = np.asarray([
+            self._approx_pose[0] + ca * delta[0] - sa * delta[1],
+            self._approx_pose[1] + sa * delta[0] + ca * delta[1],
+            _normalize_angle(self._approx_pose[2] + delta[2])])
+        self._window_poses_host = np.concatenate(
+            [self._window_poses_host[1:],
+             self._approx_pose[None].astype(np.float32)])
+        self._window_mask_host = np.concatenate(
+            [self._window_mask_host[1:], np.ones(1, bool)])
+        self._check_window_capacity()
+
+        dev_points = jnp.asarray(points, jnp.float32)
+        dev_mask = jnp.asarray(mask)
+        with self.stats.timer.section("local_match"):
+            self._window, self._pose_dev, out = matcher_mod.mapping_step_async(
+                self.local_matcher.config, self._window, self._pose_dev,
+                self._range_max_dev, dev_points, dev_mask,
+                jnp.int32(num_points), jnp.asarray(delta, jnp.float32))
+            # Start the device->host copies NOW, while the host moves on to
+            # the next scan: without this, the drain's device_get pays a
+            # full synchronous pull round trip per scan (~27 ms through
+            # this environment's relay) even though the compute finished
+            # long ago — measured 67 ms sync-get vs 4-6 ms with the async
+            # copy in flight.
+            for leaf in out:
+                leaf.copy_to_host_async()
+
+        # Graph slot now (points are host-known); pose + constraint fill in
+        # at drain time.
+        scan_id = g.add_scan(self._approx_pose, points, mask)
+        self._window_synced = g.num_scans
+        self._pending.append((scan_id, out))
+        self.prev_odom_pose = odom_pose.copy()
+        self.map_update_available = True
+
+        if len(self._pending) > self.config.max_inflight:
+            self._drain(1)
+
+        self._scans_since_loop_closure += 1
+        if self._scans_since_loop_closure >= self.config.loop_closure_every:
+            self.loop_closure()
+        return ScanResult(accepted=True, scan_id=scan_id, pose=None)
+
+    def _drain(self, k=None) -> None:
+        """Resolve the oldest k in-flight mapping steps (all if None): fill
+        the graph pose, append the odometry constraint, update the EWMA and
+        stats — in scan order, so the drained graph is byte-identical in
+        structure to what the synchronous path builds."""
+        if not self._pending:
+            return
+        import jax
+        g = self.graph
+        n = len(self._pending) if k is None else min(k, len(self._pending))
+        for _ in range(n):
+            scan_id, out = self._pending.pop(0)
+            unc, score, corr, cov, new_pose = jax.device_get(out)
+            pose = np.asarray(new_pose, np.float64)
+            g.poses[scan_id] = pose
+            if scan_id > 0:
+                pose_graph.make_constraint_np(g, scan_id - 1, scan_id,
+                                              np.asarray(cov, np.float64))
+            matched = float(score)
+            self.typical_matcher_response = (
+                0.95 * self.typical_matcher_response + 0.05 * matched)
+            self.stats.record_scan(True, matched)
+            self.prev_robot_pose = pose
+        if not self._pending:
+            # Re-anchor the approximate chain on the exact estimate.
+            self._approx_pose = self.prev_robot_pose.copy()
+
+    def _drain_all(self) -> None:
+        self._drain(None)
+
+    def flush(self) -> None:
+        """Block until every in-flight pipelined mapping step has drained
+        into the graph (no-op in synchronous mode)."""
+        self._drain_all()
+
+    # ------------------------------------------------------------------
     def _process_localization(self, robot_pose, odom_pose, points, mask,
                               num_points) -> ScanResult:
         """Scan-match-only localization branch (ndt_mapper.cpp:547-566)."""
@@ -531,6 +675,7 @@ class Mapper:
         self._scans_since_loop_closure = 0
         if not self.enable_mapping:
             return 0
+        self._drain_all()
         g = self.graph
         num_scans = g.num_scans
         depth = self.config.rolling_depth
@@ -788,6 +933,7 @@ class Mapper:
 
     def optimize(self) -> bool:
         """Force a pose-graph optimization."""
+        self._drain_all()
         ok = solver.solve_graph(self.graph, self.config.solver)
         if ok:
             self.optimization_last = self.graph.num_scans
@@ -798,6 +944,7 @@ class Mapper:
     # ------------------------------------------------------------------
     def render_map(self) -> occupancy.OccupancyGridResult:
         """Occupancy-grid export (mapPublishThread, ndt_mapper.cpp:696-705)."""
+        self._drain_all()
         self.map_update_available = False
         g = self.graph
         return occupancy.render_occupancy(
@@ -806,6 +953,7 @@ class Mapper:
 
     def graph_snapshot(self) -> dict:
         """Graph visualization data (Graph::getMsg, src/graph.cpp:191-256)."""
+        self._drain_all()
         g = self.graph
         return {
             "nodes": g.poses[:, :2].copy(),
@@ -816,6 +964,7 @@ class Mapper:
     def map_to_odom(self) -> np.ndarray:
         """map->odom transform = (map->robot) * (odom->robot)^-1
         (ndt_mapper.cpp:722-739)."""
+        self._drain_all()
         mr = self.prev_robot_pose
         orp = self.prev_odom_pose
         th = _normalize_angle(mr[2] - orp[2])
@@ -827,6 +976,7 @@ class Mapper:
     # ------------------------------------------------------------------
     def configure(self, action: int, filename: str = "") -> bool:
         """Configure service (srv/Configure.srv, ndt_mapper.cpp:155-186)."""
+        self._drain_all()
         from ndt_2d_tpu.io import serialization
         if action & ENABLE_MAPPING:
             logger.info("Enabling mapping")

@@ -88,7 +88,7 @@ def run_bag(mapper: Mapper, bag: ScanBag,
 
     Computes ATE against ground truth when the bag carries it.
     """
-    est, used_truth, accepted = [], [], 0
+    est, used_truth, accepted, deferred = [], [], 0, []
     lock = control._lock if control else threading.Lock()
     for t, (msg, odom_pose) in enumerate(bag):
         # De-skew only applies when the sweep has real duration
@@ -105,10 +105,19 @@ def run_bag(mapper: Mapper, bag: ScanBag,
                 est.append(res.pose)
                 if bag.truth is not None:
                     used_truth.append(bag.truth[t])
+            elif res.scan_id >= 0:
+                # Pipelined mapping defers the pose; resolve from the graph
+                # after the final flush below.
+                deferred.append((res.scan_id, t))
         if progress:
             progress(t, res)
     with lock:
+        mapper.flush()
         mapper.loop_closure()
+    for sid, t in deferred:
+        est.append(mapper.graph.poses[sid].copy())
+        if bag.truth is not None:
+            used_truth.append(bag.truth[t])
 
     stats = {
         "scans_in": len(bag),

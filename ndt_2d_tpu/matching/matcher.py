@@ -556,6 +556,43 @@ def match_scan_rolling(config: ScanMatcherConfig, window: RollingWindow,
     return unc, res.score, res.correction, res.covariance
 
 
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(1, 2))
+def mapping_step_async(config: ScanMatcherConfig, window: RollingWindow,
+                       prev_pose, range_max, points, mask, num_points,
+                       delta):
+    """Fully device-resident mapping step for the pipelined host loop.
+
+    The synchronous path (match_scan_rolling) forces one host round-trip per
+    scan because the host dead-reckons the next start pose from the fetched
+    correction.  Keeping the pose chain ON DEVICE breaks that dependency:
+    dead-reckon from the device-resident previous pose, match, apply the
+    correction, append the corrected scan to the window — one dispatch, and
+    the host never has to block (results drain asynchronously;
+    mapping/mapper.py pipelined path).  Through this environment's ~27 ms
+    relay that turns a 1-RTT-per-scan loop into an overlap-limited one.
+
+    Args:
+      prev_pose: [3] device-resident previous corrected robot pose.
+      delta: [3] odometry motion since the previous scan, expressed in the
+        previous ROBOT frame (host computes it from consecutive odometry
+        poses alone — R(-odom_th0)·(xy1-xy0) — so it needs no device state;
+        composing it onto prev_pose reproduces ndt_mapper.cpp:357-364).
+    Returns (window', pose', results (unc, score, corr, cov, pose')).
+    """
+    c, s = jnp.cos(prev_pose[2]), jnp.sin(prev_pose[2])
+    th = prev_pose[2] + delta[2]
+    pose = jnp.stack([prev_pose[0] + c * delta[0] - s * delta[1],
+                      prev_pose[1] + s * delta[0] + c * delta[1],
+                      jnp.arctan2(jnp.sin(th), jnp.cos(th))])
+    unc, res = match_scan_windowed(
+        config, window.poses, window.points, window.point_mask, window.mask,
+        range_max, points, mask, num_points, pose)
+    new_pose = pose + res.correction
+    window2 = window_append(window, new_pose, points, mask)
+    return window2, new_pose, (unc, res.score, res.correction,
+                               res.covariance, new_pose)
+
+
 # Module-level jits: stable function identity so repeated add_scans calls hit
 # the trace cache instead of retracing (a fresh jit(vmap(...)) per call would
 # recompile every time — costly through a remote-compile relay).

@@ -303,6 +303,65 @@ class TestBatchedLoopClosureEquivalence:
         np.testing.assert_allclose(bat["poses"], seq["poses"], atol=1e-5)
 
 
+class TestPipelinedMapping:
+    """config.max_inflight > 0: device-resident pose chain + async drains
+    (matcher.mapping_step_async) must reproduce the synchronous path."""
+
+    def test_matches_synchronous_path(self):
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(40)
+        odom = sim.drift_odometry(truth, trans_noise=0.008, rot_noise=0.002,
+                                  seed=5)
+        out = {}
+        for inflight in (0, 8):
+            cfg = dataclasses.replace(CFG, max_inflight=inflight)
+            mapper = Mapper(cfg)
+            for t in range(len(truth)):
+                msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                       range_max=12.0, noise=0.01,
+                                       rng=np.random.default_rng(t))
+                res = mapper.process_scan(msg, odom[t])
+                if inflight and res.accepted and res.scan_id > 0:
+                    assert res.pose is None  # deferred
+            mapper.flush()
+            g = mapper.graph
+            out[inflight] = dict(
+                poses=g.poses.copy(), n=g.num_scans, c=g.num_constraints,
+                ewma=mapper.typical_matcher_response,
+                info=g.constraint_information.copy())
+        sync, pipe = out[0], out[8]
+        assert pipe["n"] == sync["n"]
+        assert pipe["c"] == sync["c"]
+        # Device f32 dead-reckoning vs host f64 can flip a lattice cell at
+        # quantization boundaries; divergence is bounded by the lattice
+        # resolution per scan and re-corrected by the next match.
+        np.testing.assert_allclose(pipe["poses"], sync["poses"], atol=0.03)
+        assert abs(pipe["ewma"] - sync["ewma"]) < 0.02
+
+    def test_consumers_force_drain(self):
+        """render_map / map_to_odom / save must see a fully drained graph."""
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(20)
+        cfg = dataclasses.replace(CFG, max_inflight=32)  # never auto-drains
+        mapper = Mapper(cfg)
+        for t in range(len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=12.0, noise=0.01,
+                                   rng=np.random.default_rng(t))
+            mapper.process_scan(msg, truth[t].copy())
+        assert mapper._pending  # steps genuinely in flight
+        grid = mapper.render_map()
+        assert not mapper._pending
+        assert mapper.graph.num_constraints == mapper.graph.num_scans - 1
+        assert (grid.data == 100).sum() > 0
+        # poses were filled in (not the odometry approximations): the
+        # drained trajectory must track truth despite no odometry noise
+        # here, so just check finiteness + ordering
+        assert np.isfinite(mapper.graph.poses).all()
+        t2o = mapper.map_to_odom()
+        assert np.isfinite(t2o).all()
+
+
 class TestGlobalRelocalization:
     """Uniform-over-free-space particle init (no reference equivalent: the
     reference requires a manual initialpose after map load)."""
