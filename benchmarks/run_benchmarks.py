@@ -393,6 +393,29 @@ def bench_config4(quick: bool) -> dict:
     steady = float(np.median(np.asarray(times[2:])))
     beams = loc.config.global_scan_matcher.laser_max_beams
 
+    # Pipelined arm: device-chained particle state + deferred statistics
+    # (max_inflight=8); same log, fresh filter.
+    ploc = Mapper(dc.replace(pf_cfg, max_inflight=8), seed=3)
+    with tempfile.TemporaryDirectory() as d2:
+        path2 = os.path.join(d2, "map.npz")
+        mapper.configure(SAVE_TO_FILE, path2)
+        ploc.configure(LOAD_FROM_FILE, path2)
+    ploc.set_initial_pose(rel_truth[0], np.diag([0.04, 0.04, 0.01]),
+                          loc_bag.truth[0])
+    ptimes = []
+    t_pipe0 = time.perf_counter()
+    for t, (msg, odom) in enumerate(loc_bag):
+        if t == 0:
+            continue
+        t0 = time.perf_counter()
+        ploc.process_scan(msg, odom)
+        ptimes.append(time.perf_counter() - t0)
+    ploc.flush()
+    pipe_wall = time.perf_counter() - t_pipe0
+    pipe_err = float(np.hypot(*(ploc.prev_robot_pose[:2]
+                                - rel_truth[n_loc - 1][:2])))
+    pipe_median = float(np.median(np.asarray(ptimes[2:])))
+
     # Device-only PF step time: chain K sequential steps inside one jit
     # (states thread through lax.fori_loop; per-dispatch RTT excluded).
     import jax
@@ -443,6 +466,9 @@ def bench_config4(quick: bool) -> dict:
         "mean_pos_err_m": round(float(np.mean(errs)), 4),
         "final_pos_err_m": round(errs[-1], 4),
         "scan_ms_median": round(steady * 1e3, 2),
+        "pipelined_scan_ms_median": round(pipe_median * 1e3, 2),
+        "pipelined_updates_per_sec_wall": round(len(ptimes) / pipe_wall, 1),
+        "pipelined_final_pos_err_m": round(pipe_err, 4),
         "pf_step_device_ms": round(t_dev * 1e3, 3),
         "particle_scores_per_sec": round(max_particles * beams / t_dev),
         "particle_scores_per_sec_dispatched": round(

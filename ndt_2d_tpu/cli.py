@@ -192,6 +192,11 @@ def _run_session(args, localize: bool) -> int:
         stats = runtime.run_bag(mapper, bag, progress=progress,
                                 control=control)
 
+    est = stats.pop("_est", None)
+    est_t = stats.pop("_est_t", None)
+    if getattr(args, "traj_out", None):
+        serialization.save_tum(args.traj_out, est_t, est)
+        stats["traj_out"] = args.traj_out
     if getattr(args, "map_out", None):
         mapper.configure(8, args.map_out)  # SAVE_TO_FILE
         stats["map_out"] = args.map_out
@@ -400,6 +405,10 @@ def main(argv=None) -> int:
                        help="resume from a --session-out checkpoint")
         p.add_argument("--grid-out", default=None,
                        help="occupancy grid npz output")
+        p.add_argument("--traj-out", default=None,
+                       help="estimated trajectory in TUM format "
+                            "(t x y z qx qy qz qw; timestamps = scan "
+                            "indices) for external evaluation tools")
         p.add_argument("--viz-out", default=None,
                        help="session visualization PNG (graph + map + "
                             "particles over ground truth)")

@@ -172,6 +172,10 @@ class ParticleFilter:
         self.particles = jnp.zeros((m, 3), jnp.float32)
         self.weights = jnp.full((m,), 1.0 / config.min_particles, jnp.float32)
         self.n_active = config.min_particles
+        # Device-resident active count, set by step_async: lets the NEXT
+        # step's mask derive on device without waiting for the host fetch
+        # (the pipelined localization path, mapping/mapper.py).
+        self._n_dev = None
         self._refresh_statistics()
 
     # ------------------------------------------------------------------
@@ -181,9 +185,12 @@ class ParticleFilter:
 
     @property
     def mask(self):
+        if self._n_dev is not None:
+            return jnp.arange(self.config.max_particles) < self._n_dev
         return jnp.arange(self.config.max_particles) < self.n_active
 
     def _refresh_statistics(self):
+        self._n_dev = None
         self.weights, self._mean, self._cov = update_statistics(
             self.particles, self.weights, self.mask)
 
@@ -255,10 +262,13 @@ class ParticleFilter:
         self.n_active = int(n)
         self._refresh_statistics()
 
-    def step(self, matcher, control, points, point_mask, num_points):
-        """Fused per-scan update (see pf_step): one device dispatch, one
-        result fetch.  Replaces update()+measure()+resample() in the hot
-        localization loop."""
+    def step_async(self, matcher, control, points, point_mask, num_points):
+        """Dispatch one fused PF scan update (pf_step) WITHOUT fetching the
+        result: the particle/weight/count state chains on device, so the
+        next step can dispatch before this one's statistics reach the host.
+        Device->host copies start immediately (copy_to_host_async); pass the
+        returned handle to resolve_async() to finalize.
+        """
         import jax
 
         c = self.config
@@ -274,9 +284,27 @@ class ParticleFilter:
             jnp.int32(num_points), alphas, jnp.float32(c.kld_err),
             jnp.float32(c.kld_z), bins, c.min_particles, c.max_particles)
         self.particles, self.weights = p, w
-        n, self._mean, self._cov = jax.device_get((n, mean, cov))
+        self._n_dev = n
+        for leaf in (n, mean, cov):
+            leaf.copy_to_host_async()
+        return (n, mean, cov)
+
+    def resolve_async(self, handle):
+        """Fetch a step_async result into the host-visible statistics;
+        returns the mean pose."""
+        import jax
+
+        n, self._mean, self._cov = jax.device_get(handle)
         self.n_active = int(n)
         return np.asarray(self._mean)
+
+    def step(self, matcher, control, points, point_mask, num_points):
+        """Fused per-scan update (see pf_step): one device dispatch, one
+        result fetch.  Replaces update()+measure()+resample() in the hot
+        localization loop."""
+        return self.resolve_async(
+            self.step_async(matcher, control, points, point_mask,
+                            num_points))
 
     # ------------------------------------------------------------------
     def get_mean(self):

@@ -62,6 +62,26 @@ def load_graph(filename: str, max_points_per_scan: int,
     return graph
 
 
+def save_tum(path: str, times, poses) -> None:
+    """Write an SE(2) trajectory in TUM format (`t x y z qx qy qz qw`, yaw
+    as a z-axis quaternion) so external tools like evo can evaluate it
+    against other systems.  The reference has no trajectory export at all.
+    """
+    times = np.asarray(times, np.float64)
+    poses = np.asarray(poses, np.float64)
+    with open(path, "w") as f:
+        for t, (x, y, th) in zip(times, poses):
+            f.write(f"{t:.6f} {x:.6f} {y:.6f} 0.000000 0.000000 0.000000 "
+                    f"{np.sin(th / 2.0):.9f} {np.cos(th / 2.0):.9f}\n")
+
+
+def load_tum(path: str):
+    """Read a TUM trajectory back as (times [T], poses [T, 3])."""
+    rows = np.loadtxt(path, ndmin=2)
+    yaw = 2.0 * np.arctan2(rows[:, 6], rows[:, 7])
+    return rows[:, 0], np.stack([rows[:, 1], rows[:, 2], yaw], axis=-1)
+
+
 def save_session(mapper, filename: str) -> None:
     """Checkpoint a FULL mapper session (beyond the reference's map-only
     save): graph + runtime estimator state + particle cloud, so a session

@@ -61,6 +61,11 @@ class ScanResult:
     uncorrected_score: float = 0.0
     matched_score: float = 0.0
     correction: Optional[np.ndarray] = None
+    # Pipelined paths (config.max_inflight > 0) defer the pose: ``pose`` is
+    # None and this holds the device array of the corrected pose (its
+    # device->host copy is already in flight).  Resolve with
+    # jax.device_get AFTER Mapper.flush(); or read graph poses instead.
+    pose_future: Optional[object] = None
 
 
 class Mapper:
@@ -233,6 +238,7 @@ class Mapper:
         self.prev_robot_pose = pose.copy()
         self.prev_odom_pose = np.asarray(odom_pose, np.float64).copy()
         self.prev_odom_pose_is_initialized = True
+        self._pose_dev = None  # restart any device pose chain from here
         logger.info("Localized to %f, %f, %f", *pose)
         return True
 
@@ -247,6 +253,7 @@ class Mapper:
         filter converges over the next few scans as the batched NDT
         measurement concentrates weight on consistent hypotheses.
         """
+        self._drain_all()
         if not self.use_particle_filter or self.filter is None:
             logger.error("global_localize requires use_particle_filter")
             return False
@@ -266,6 +273,7 @@ class Mapper:
             return False
         centers = grid.origin + (free[:, ::-1] + 0.5) * grid.resolution
         self.filter.init_global(centers, grid.resolution)
+        self._pose_dev = None
         self.prev_robot_pose = self.filter.get_mean().astype(np.float64)
         self.prev_odom_pose = np.asarray(odom_pose, np.float64).copy()
         self.prev_odom_pose_is_initialized = True
@@ -521,12 +529,7 @@ class Mapper:
 
         # Odometry motion in the previous ROBOT frame — host-only inputs.
         odom_pose = np.asarray(odom_pose, np.float64)
-        d = odom_pose[:2] - self.prev_odom_pose[:2]
-        c0, s0 = np.cos(self.prev_odom_pose[2]), np.sin(self.prev_odom_pose[2])
-        delta = np.asarray([c0 * d[0] + s0 * d[1],
-                            -s0 * d[0] + c0 * d[1],
-                            _normalize_angle(odom_pose[2]
-                                             - self.prev_odom_pose[2])])
+        delta = self._odom_delta(odom_pose)
 
         # Approximate host pose chain (odometry-composed, no corrections)
         # for the static-grid capacity check; cm-scale error over the
@@ -563,7 +566,7 @@ class Mapper:
         # at drain time.
         scan_id = g.add_scan(self._approx_pose, points, mask)
         self._window_synced = g.num_scans
-        self._pending.append((scan_id, out))
+        self._pending.append(("map", scan_id, out))
         self.prev_odom_pose = odom_pose.copy()
         self.map_update_available = True
 
@@ -573,31 +576,61 @@ class Mapper:
         self._scans_since_loop_closure += 1
         if self._scans_since_loop_closure >= self.config.loop_closure_every:
             self.loop_closure()
-        return ScanResult(accepted=True, scan_id=scan_id, pose=None)
+        return ScanResult(accepted=True, scan_id=scan_id, pose=None,
+                          pose_future=out[4])
+
+    def _odom_delta(self, odom_pose) -> np.ndarray:
+        """Odometry motion since the previous scan, in the previous ROBOT
+        frame: R(-odom_th0) * (xy1 - xy0), dth.  Composing it onto the
+        previous corrected pose reproduces the host dead-reckoning math
+        (ndt_mapper.cpp:357-364), and it equals the PF's robot-centric
+        control (ndt_mapper.cpp:457-468) — both are host-computable from
+        consecutive odometry poses alone, which is what lets the pipelined
+        paths run without the device-resident pose estimate."""
+        d = odom_pose[:2] - self.prev_odom_pose[:2]
+        c0, s0 = np.cos(self.prev_odom_pose[2]), np.sin(self.prev_odom_pose[2])
+        return np.asarray([c0 * d[0] + s0 * d[1],
+                           -s0 * d[0] + c0 * d[1],
+                           _normalize_angle(odom_pose[2]
+                                            - self.prev_odom_pose[2])])
 
     def _drain(self, k=None) -> None:
-        """Resolve the oldest k in-flight mapping steps (all if None): fill
-        the graph pose, append the odometry constraint, update the EWMA and
-        stats — in scan order, so the drained graph is byte-identical in
-        structure to what the synchronous path builds."""
+        """Resolve the oldest k in-flight pipelined steps (all if None), in
+        dispatch order, so the drained state is structurally identical to
+        what the synchronous path builds.  Mapping entries fill the graph
+        pose, append the odometry constraint and update the EWMA;
+        localization entries update the pose estimate; PF entries finalize
+        the filter statistics."""
         if not self._pending:
             return
         import jax
         g = self.graph
         n = len(self._pending) if k is None else min(k, len(self._pending))
         for _ in range(n):
-            scan_id, out = self._pending.pop(0)
-            unc, score, corr, cov, new_pose = jax.device_get(out)
-            pose = np.asarray(new_pose, np.float64)
-            g.poses[scan_id] = pose
-            if scan_id > 0:
-                pose_graph.make_constraint_np(g, scan_id - 1, scan_id,
-                                              np.asarray(cov, np.float64))
-            matched = float(score)
-            self.typical_matcher_response = (
-                0.95 * self.typical_matcher_response + 0.05 * matched)
-            self.stats.record_scan(True, matched)
-            self.prev_robot_pose = pose
+            entry = self._pending.pop(0)
+            if entry[0] == "map":
+                _, scan_id, out = entry
+                unc, score, corr, cov, new_pose = jax.device_get(out)
+                pose = np.asarray(new_pose, np.float64)
+                g.poses[scan_id] = pose
+                if scan_id > 0:
+                    pose_graph.make_constraint_np(
+                        g, scan_id - 1, scan_id, np.asarray(cov, np.float64))
+                matched = float(score)
+                self.typical_matcher_response = (
+                    0.95 * self.typical_matcher_response + 0.05 * matched)
+                self.stats.record_scan(True, matched)
+                self.prev_robot_pose = pose
+            elif entry[0] == "loc":
+                _, out = entry
+                unc, score, corr, new_pose = jax.device_get(out)
+                self.prev_robot_pose = np.asarray(new_pose, np.float64)
+                self.stats.record_scan(True, float(score))
+            else:  # "pf"
+                _, out = entry
+                mean = self.filter.resolve_async(out)
+                self.prev_robot_pose = np.asarray(mean, np.float64)
+                self.stats.record_scan(True)
         if not self._pending:
             # Re-anchor the approximate chain on the exact estimate.
             self._approx_pose = self.prev_robot_pose.copy()
@@ -620,6 +653,28 @@ class Mapper:
         from ndt_2d_tpu.matching import matcher as matcher_mod
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
         m = self.global_matcher
+        if (self.config.max_inflight > 0 and isinstance(m, NDTScanMatcher)
+                and m.grid is not None):
+            odom_pose = np.asarray(odom_pose, np.float64)
+            delta = self._odom_delta(odom_pose)
+            if self._pose_dev is None:
+                assert not self._pending
+                self._pose_dev = jnp.asarray(self.prev_robot_pose,
+                                             jnp.float32)
+            with self.stats.timer.section("global_match"):
+                self._pose_dev, out = matcher_mod.localization_step_async(
+                    m.config, m.grid, self._pose_dev,
+                    jnp.asarray(points, jnp.float32), jnp.asarray(mask),
+                    jnp.int32(num_points), jnp.asarray(delta, jnp.float32),
+                    m.packed_table)
+                for leaf in out:
+                    leaf.copy_to_host_async()
+            self._pending.append(("loc", out))
+            self.prev_odom_pose = odom_pose.copy()
+            if len(self._pending) > self.config.max_inflight:
+                self._drain(1)
+            return ScanResult(accepted=True, pose=None, pose_future=out[3])
+        self._drain_all()
         with self.stats.timer.section("global_match"):
             if isinstance(m, NDTScanMatcher) and m.grid is not None:
                 # Fused score+match: one dispatch, one fetch.
@@ -649,6 +704,23 @@ class Mapper:
     def _process_particle_filter(self, robot_pose, odom_pose, points, mask,
                                  num_points) -> ScanResult:
         """Particle-filter branch (ndt_mapper.cpp:455-494)."""
+        f = self.filter
+        if self.config.max_inflight > 0:
+            # Pipelined: the control equals the odometry delta in the
+            # previous robot frame (see _odom_delta), so the dispatch needs
+            # no device state fetch; particles/weights/count chain on
+            # device and statistics drain asynchronously.
+            odom_pose = np.asarray(odom_pose, np.float64)
+            control = self._odom_delta(odom_pose)
+            with self.stats.timer.section("pf_step"):
+                out = f.step_async(self.global_matcher, control, points,
+                                   mask, num_points)
+            self._pending.append(("pf", out))
+            self.prev_odom_pose = odom_pose.copy()
+            if len(self._pending) > self.config.max_inflight:
+                self._drain(1)
+            return ScanResult(accepted=True, pose=None, pose_future=out[1])
+
         # Robot-centric control from the map-frame delta (ndt_mapper.cpp:457-468).
         delta = robot_pose[:2] - self.prev_robot_pose[:2]
         c = np.cos(-self.prev_robot_pose[2])
@@ -658,7 +730,6 @@ class Mapper:
             s * delta[0] + c * delta[1],
             _normalize_angle(robot_pose[2] - self.prev_robot_pose[2])])
 
-        f = self.filter
         with self.stats.timer.section("pf_step"):
             mean = f.step(self.global_matcher, control, points, mask,
                           num_points)
@@ -995,6 +1066,7 @@ class Mapper:
             self.global_scans_processed = 0
             self.optimization_last = 0
             self._window_synced = -1  # new graph invalidates the window
+            self._pose_dev = None
         elif action & SAVE_TO_FILE:
             logger.info("Saving map to %s", filename)
             serialization.save_graph(self.graph, filename)

@@ -88,7 +88,7 @@ def run_bag(mapper: Mapper, bag: ScanBag,
 
     Computes ATE against ground truth when the bag carries it.
     """
-    est, used_truth, accepted, deferred = [], [], 0, []
+    est, used_truth, accepted, deferred, est_t = [], [], 0, [], []
     lock = control._lock if control else threading.Lock()
     for t, (msg, odom_pose) in enumerate(bag):
         # De-skew only applies when the sweep has real duration
@@ -103,21 +103,26 @@ def run_bag(mapper: Mapper, bag: ScanBag,
             accepted += 1
             if res.pose is not None:
                 est.append(res.pose)
+                est_t.append(t)
                 if bag.truth is not None:
                     used_truth.append(bag.truth[t])
-            elif res.scan_id >= 0:
-                # Pipelined mapping defers the pose; resolve from the graph
-                # after the final flush below.
-                deferred.append((res.scan_id, t))
+            elif res.pose_future is not None:
+                # Pipelined paths defer the pose; resolve after the final
+                # flush below (the device->host copies are already in
+                # flight, so this costs no extra round trips).
+                deferred.append((res.pose_future, t))
         if progress:
             progress(t, res)
     with lock:
         mapper.flush()
         mapper.loop_closure()
-    for sid, t in deferred:
-        est.append(mapper.graph.poses[sid].copy())
-        if bag.truth is not None:
-            used_truth.append(bag.truth[t])
+    if deferred:
+        import jax
+        for fut, t in deferred:
+            est.append(np.asarray(jax.device_get(fut), np.float64))
+            est_t.append(t)
+            if bag.truth is not None:
+                used_truth.append(bag.truth[t])
 
     stats = {
         "scans_in": len(bag),
@@ -131,4 +136,8 @@ def run_bag(mapper: Mapper, bag: ScanBag,
         stats["ate_rmse_m"] = metrics.ate_rmse(
             np.asarray(est), np.asarray(used_truth))
         stats["odom_ate_rmse_m"] = metrics.ate_rmse(bag.odom, bag.truth)
+    # Private keys (numpy, not JSON): the estimated trajectory, for
+    # --traj-out export; callers pop these before serializing.
+    stats["_est"] = np.asarray(est) if est else np.zeros((0, 3))
+    stats["_est_t"] = np.asarray(est_t, np.int64)
     return stats

@@ -593,6 +593,35 @@ def mapping_step_async(config: ScanMatcherConfig, window: RollingWindow,
                                res.covariance, new_pose)
 
 
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(2,))
+def localization_step_async(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
+                            prev_pose, points, mask, num_points, delta,
+                            packed_table=None):
+    """Scan-match localization step with the pose chain ON DEVICE.
+
+    The synchronous branch (match_scan_with_score) blocks one host round
+    trip per scan to learn the correction before dead-reckoning the next
+    start pose (ndt_mapper.cpp:547-566).  Composing the odometry motion onto
+    a device-resident previous pose removes that dependency; results drain
+    asynchronously (mapping/mapper.py pipelined path).
+
+    Args:
+      delta: [3] odometry motion since the previous scan in the previous
+        ROBOT frame (see mapping_step_async).
+    Returns (pose', results (unc, score, correction, pose')).
+    """
+    c, s = jnp.cos(prev_pose[2]), jnp.sin(prev_pose[2])
+    th = prev_pose[2] + delta[2]
+    pose = jnp.stack([prev_pose[0] + c * delta[0] - s * delta[1],
+                      prev_pose[1] + s * delta[0] + c * delta[1],
+                      jnp.arctan2(jnp.sin(th), jnp.cos(th))])
+    unc = score_points_at_pose(config, grid, points, mask, num_points, pose)
+    res = match_scan(config, grid, points, mask, num_points, pose,
+                     jnp.float32(0.0), packed_table)
+    new_pose = pose + res.correction
+    return new_pose, (unc, res.score, res.correction, new_pose)
+
+
 # Module-level jits: stable function identity so repeated add_scans calls hit
 # the trace cache instead of retracing (a fresh jit(vmap(...)) per call would
 # recompile every time — costly through a remote-compile relay).

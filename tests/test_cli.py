@@ -176,3 +176,27 @@ class TestSessionCheckpoint:
         serialization.save_graph(m.graph, map_path)
         with pytest.raises(ValueError, match="session"):
             serialization.load_session(map_path, cfg)
+
+
+class TestTrajectoryExport:
+    def test_run_traj_out_tum(self, tmp_path, capsys):
+        from ndt_2d_tpu import cli
+        from ndt_2d_tpu.io import serialization
+        import numpy as np
+        import json
+        bag = str(tmp_path / "bag.npz")
+        assert cli.main(["simulate", "--world", "corridor", "--scans", "40",
+                         "--out", bag]) == 0
+        capsys.readouterr()
+        traj = str(tmp_path / "traj.tum")
+        assert cli.main(["run", "--bag", bag, "--traj-out", traj,
+                         "--loop-closure-every", "1000000",
+                         "--local_scan_matcher.grid_cells", "192"]) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["traj_out"] == traj
+        assert "_est" not in stats
+        times, poses = serialization.load_tum(traj)
+        assert len(times) == stats["scans_accepted"]
+        assert np.isfinite(poses).all()
+        # yaw round-trips through the quaternion encoding
+        assert abs(poses[0][2]) < np.pi

@@ -338,6 +338,78 @@ class TestPipelinedMapping:
         np.testing.assert_allclose(pipe["poses"], sync["poses"], atol=0.03)
         assert abs(pipe["ewma"] - sync["ewma"]) < 0.02
 
+    def test_localization_matches_synchronous(self, tmp_path):
+        """Pipelined scan-match localization (localization_step_async) vs
+        the synchronous branch on the same bag and map."""
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(30)
+        mapper, _, _ = run_mapping(world, truth, truth.copy())
+        path = str(tmp_path / "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+
+        odom = sim.drift_odometry(truth, trans_noise=0.006, rot_noise=0.002,
+                                  seed=9)
+        rel_truth = metrics.relative_to_first(truth)  # map frame = scan 0
+        out = {}
+        for inflight in (0, 8):
+            cfg = dataclasses.replace(CFG, enable_mapping=False,
+                                      max_inflight=inflight)
+            loc = Mapper(cfg)
+            loc.configure(LOAD_FROM_FILE, path)
+            loc.set_initial_pose(rel_truth[0], np.diag([0.01, 0.01, 0.005]),
+                                 odom[0])
+            for t in range(1, len(truth)):
+                msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                       range_max=12.0, noise=0.01,
+                                       rng=np.random.default_rng(500 + t))
+                loc.process_scan(msg, odom[t])
+            loc.flush()
+            out[inflight] = loc.prev_robot_pose.copy()
+        np.testing.assert_allclose(out[8], out[0], atol=0.03)
+        np.testing.assert_allclose(out[0][:2], rel_truth[-1][:2], atol=0.3)
+
+    def test_particle_filter_pipelined(self, tmp_path):
+        """Pipelined PF localization: device-chained particle state +
+        deferred statistics must track like the synchronous filter."""
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(24)
+        mapper, _, _ = run_mapping(world, truth, truth.copy())
+        path = str(tmp_path / "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+
+        odom = sim.drift_odometry(truth, trans_noise=0.004, rot_noise=0.001,
+                                  seed=3)
+        rel_truth = metrics.relative_to_first(truth)  # map frame = scan 0
+        out = {}
+        for inflight in (0, 4):
+            cfg = dataclasses.replace(
+                CFG, use_particle_filter=True, max_inflight=inflight,
+                particle_filter=dataclasses.replace(
+                    MapperConfig().particle_filter,
+                    min_particles=100, max_particles=400,
+                    odom_alpha1=0.05, odom_alpha2=0.05,
+                    odom_alpha3=0.05, odom_alpha4=0.05))
+            loc = Mapper(cfg, seed=11)
+            loc.configure(LOAD_FROM_FILE, path)
+            loc.set_initial_pose(rel_truth[0], np.diag([0.02, 0.02, 0.01]),
+                                 odom[0])
+            for t in range(1, len(truth)):
+                msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                       range_max=12.0, noise=0.01,
+                                       rng=np.random.default_rng(700 + t))
+                res = loc.process_scan(msg, odom[t])
+                if inflight:
+                    assert res.accepted and res.pose is None
+            loc.flush()
+            out[inflight] = loc.prev_robot_pose.copy()
+            assert np.hypot(*(loc.prev_robot_pose[:2]
+                              - rel_truth[-1][:2])) < 0.4
+        # Same seed + same key-split sequence; the control inputs agree only
+        # to f64->f32 rounding, and one flipped KLD resample draw diverges
+        # the clouds stochastically — so compare as estimators (both track),
+        # not bitwise.
+        np.testing.assert_allclose(out[4], out[0], atol=0.1)
+
     def test_consumers_force_drain(self):
         """render_map / map_to_odom / save must see a fully drained graph."""
         world = sim.make_corridor_world(40.0, 3.0)
