@@ -59,9 +59,15 @@ def decode_scan(blob: bytes) -> Tuple[int, np.ndarray, np.ndarray]:
     b = blob[4:]
     scan_id, px, py, _pz, _qx, _qy, _qz, qw, n = struct.unpack_from(
         "<Q7dI", b, 0)
-    # points start at 72: 68 (end of length prefix) aligned up to 8.
-    pts = np.frombuffer(b, dtype="<f8", count=3 * n, offset=72)
-    pts = pts.reshape(n, 3)[:, :2]
+    if n:
+        # points start at 72: 68 (end of length prefix) aligned up to 8.
+        # CDR pads only BEFORE elements, so an empty sequence has no pad
+        # and the body ends at 68 (the reference tolerates point-less
+        # scans, ndt_mapper.cpp:625).
+        pts = np.frombuffer(b, dtype="<f8", count=3 * n, offset=72)
+        pts = pts.reshape(n, 3)[:, :2]
+    else:
+        pts = np.zeros((0, 2))
     # theta lives in orientation.w (graph.cpp:70).
     return int(scan_id), np.asarray([px, py, qw], np.float64), \
         pts.astype(np.float64)
@@ -71,8 +77,9 @@ def encode_scan(scan_id: int, pose, points) -> bytes:
     pose = np.asarray(pose, np.float64)
     points = np.asarray(points, np.float64)
     n = points.shape[0]
-    head = struct.pack("<Q7dI4x", scan_id, pose[0], pose[1], 0.0,
-                       0.0, 0.0, 0.0, pose[2], n)
+    # The alignment pad after the count exists only when elements follow.
+    head = struct.pack("<Q7dI" + ("4x" if n else ""), scan_id, pose[0],
+                       pose[1], 0.0, 0.0, 0.0, 0.0, pose[2], n)
     pts3 = np.zeros((n, 3), "<f8")
     pts3[:, :2] = points
     return _CDR_LE_HEADER + head + pts3.tobytes()

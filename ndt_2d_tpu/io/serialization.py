@@ -91,6 +91,9 @@ def save_session(mapper, filename: str) -> None:
     estimate and requires an ``initialpose`` after load
     (src/ndt_mapper.cpp:114, README.md:50-52).
     """
+    # Pipelined sessions (config.max_inflight > 0) may hold in-flight
+    # results whose poses/constraints haven't landed in the graph yet.
+    mapper.flush()
     g = mapper.graph
     extra = {}
     if mapper.filter is not None:

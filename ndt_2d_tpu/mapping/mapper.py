@@ -371,20 +371,25 @@ class Mapper:
         self._window_synced = g.num_scans
         return self._window
 
-    def _check_window_capacity(self):
+    def _check_grid_capacity(self, poses_xy, cfg, what: str,
+                             remedy: str) -> None:
         """Static-grid capacity check (the reference sizes its grid
         dynamically, scan_matcher_ndt.cpp:66; our extent is static)."""
-        mcfg = self.local_matcher.config
-        wp = self._window_poses_host[self._window_mask_host]
-        if not len(wp):
+        if not len(poses_xy):
             return
-        span = wp[:, :2].max(0) - wp[:, :2].min(0) + 2 * self.range_max
-        need = np.ceil(span / mcfg.ndt_resolution) + 1
-        if need[0] > mcfg.grid_cells_x or need[1] > mcfg.grid_cells_y:
+        span = poses_xy.max(0) - poses_xy.min(0) + 2 * self.range_max
+        need = np.ceil(span / cfg.ndt_resolution) + 1
+        if need[0] > cfg.grid_cells_x or need[1] > cfg.grid_cells_y:
             raise ValueError(
-                f"scan window needs {need} cells > static grid "
-                f"({mcfg.grid_cells_x}, {mcfg.grid_cells_y}); increase "
-                "local_scan_matcher.grid_cells_*")
+                f"{what} needs {need} cells > static grid "
+                f"({cfg.grid_cells_x}, {cfg.grid_cells_y}); increase "
+                f"{remedy}")
+
+    def _check_window_capacity(self):
+        wp = self._window_poses_host[self._window_mask_host]
+        self._check_grid_capacity(wp[:, :2] if len(wp) else wp,
+                                  self.local_matcher.config, "scan window",
+                                  "local_scan_matcher.grid_cells_*")
 
     def _process_mapping(self, robot_pose, odom_pose, points, mask,
                          num_points) -> ScanResult:
@@ -992,15 +997,10 @@ class Mapper:
             wp = poses[w][wmask[w]]
             if not len(wp):
                 continue
-            span = wp[:, :2].max(0) - wp[:, :2].min(0) + 2 * self.range_max
             for cfg in cfgs:
-                need = np.ceil(span / cfg.ndt_resolution) + 1
-                if need[0] > cfg.grid_cells_x or need[1] > cfg.grid_cells_y:
-                    raise ValueError(
-                        f"loop-closure candidate window needs {need} cells "
-                        f"> static grid ({cfg.grid_cells_x}, "
-                        f"{cfg.grid_cells_y}); increase "
-                        "scan matcher grid_cells_*")
+                self._check_grid_capacity(
+                    wp[:, :2], cfg, "loop-closure candidate window",
+                    "scan matcher grid_cells_*")
 
     def optimize(self) -> bool:
         """Force a pose-graph optimization."""

@@ -172,12 +172,19 @@ class ScanServer:
         with self.lock:
             res = self.mapper.process_scan(
                 msg, np.asarray(req["odom"], np.float64), odom_end)
+            # map_to_odom() forces a full drain, so with pipelined mapping
+            # (max_inflight > 0) the exact estimate is prev_robot_pose here.
+            # NOTE: a per-scan reply inherently serializes the session —
+            # max_inflight buys nothing through this server; it exists for
+            # the replay/driver paths that don't need per-scan answers.
             tf = self.mapper.map_to_odom()
+            pose = (np.asarray(res.pose) if res.pose is not None
+                    else (self.mapper.prev_robot_pose.copy()
+                          if res.accepted else None))
         return {
             "ok": True,
             "accepted": bool(res.accepted),
-            "pose": (np.asarray(res.pose).tolist()
-                     if res.pose is not None else None),
+            "pose": pose.tolist() if pose is not None else None,
             "map_to_odom": np.asarray(tf).tolist(),
             "score": float(res.matched_score),
         }

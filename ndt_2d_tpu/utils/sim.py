@@ -86,7 +86,9 @@ def wall_with_doors(p0, p1, doors, door_width: float = 0.9) -> np.ndarray:
         spans.append((start, c - door_width / 2.0))
         start = c + door_width / 2.0
     spans.append((start, length))
-    out = [[p0 + a * u, p0 + b * u] for a, b in spans
+    # Clamp to the wall extent: a door center within door_width/2 of an end
+    # must not emit geometry protruding past p0/p1.
+    out = [[p0 + max(a, 0.0) * u, p0 + min(b, length) * u] for a, b in spans
            if min(b, length) - max(a, 0.0) > 1e-6]
     return np.asarray(out)
 

@@ -74,6 +74,29 @@ class TestCdrGolden:
         np.testing.assert_allclose(t, [0.1, -0.2, 0.05])
         np.testing.assert_allclose(info, np.arange(1.0, 10.0).reshape(3, 3))
 
+    def test_empty_scan_no_alignment_pad(self):
+        """CDR pads only BEFORE sequence elements: a point-less scan (the
+        reference tolerates them, ndt_mapper.cpp:625) has a 68-byte body
+        with no pad after the count."""
+        blob = rosbag2.encode_scan(2, [0.5, 0.5, 0.1], np.zeros((0, 2)))
+        assert len(blob) == 4 + 68
+        sid, pose, pts = rosbag2.decode_scan(blob)
+        assert sid == 2 and pts.shape == (0, 2)
+        np.testing.assert_allclose(pose, [0.5, 0.5, 0.1])
+
+    def test_empty_scan_roundtrip_via_graph(self, tmp_path):
+        g = Graph(8, True)
+        g.add_scan([1.0, 2.0, 0.3], np.zeros((8, 2), np.float32),
+                   np.zeros(8, bool))
+        g.add_scan([1.5, 2.0, 0.3], np.ones((8, 2), np.float32),
+                   np.ones(8, bool))
+        bag_dir = str(tmp_path / "m")
+        rosbag2.export_map(g, bag_dir)
+        g2 = rosbag2.import_map(bag_dir, max_points_per_scan=8)
+        assert g2.num_scans == 2
+        assert g2.point_mask[0].sum() == 0
+        assert g2.point_mask[1].sum() == 8
+
     def test_big_endian_rejected(self):
         blob = b"\x00\x00\x00\x00" + _golden_scan_blob()[4:]
         try:
