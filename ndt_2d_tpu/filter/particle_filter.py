@@ -67,7 +67,8 @@ def update_statistics(particles, weights, mask):
     mean_th = jnp.arctan2(sum_sin, sum_cos)
     mean = jnp.asarray([mean_xy[0], mean_xy[1], mean_th])
 
-    corr = jnp.einsum("m,mi,mj->ij", w, particles[:, :2], particles[:, :2])
+    corr = jnp.einsum("m,mi,mj->ij", w, particles[:, :2], particles[:, :2],
+                      precision="highest")  # TPU bf16 default skews the cov
     cov_xy = corr - jnp.outer(mean_xy, mean_xy)
     d = shortest_angular_distance(particles[:, 2], mean_th)
     cov_th = jnp.sum(w * d * d)

@@ -267,6 +267,21 @@ def solve(config: SolverConfig, poses, begin, end, transform, information,
     if robust_mask is None:
         robust_mask = jnp.zeros(begin.shape[0], bool)
 
+    # TPU matmuls/einsums default to bf16 inputs; the normal-equation
+    # blocks, PCG matvecs, and Cholesky solve are numerically fragile and
+    # MEASURED to diverge under bf16 on real hardware (50k-node district:
+    # 0.43 m -> 2.46 m instead of converging; converges in f32).  Tiny 3x3
+    # contractions gain nothing from the MXU anyway.
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(config, poses, begin, end, transform, information,
+                           constraint_mask, free_mask, robust_mask, n, dtype,
+                           use_dense)
+
+
+def _solve_impl(config, poses, begin, end, transform, information,
+                constraint_mask, free_mask, robust_mask, n, dtype,
+                use_dense):
+
     cost0 = _robust_cost(config, poses, begin, end, transform, information,
                          constraint_mask, robust_mask)
 

@@ -146,7 +146,10 @@ def refine_pose(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
         # score surface is locally non-convex or empty (all scores 0).
         lam = 1e-3 * (jnp.trace(hess) / 3.0) + 1e-6
         hess = hess + jnp.maximum(lam, 1e-6) * jnp.eye(3, dtype=hess.dtype)
-        step = -jnp.linalg.solve(hess, grad)
+        # (matmul precision forced: TPU's bf16 dot default is too coarse
+        # for a sub-lattice polish step)
+        with jax.default_matmul_precision("highest"):
+            step = -jnp.linalg.solve(hess, grad)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         # Trust region: total displacement from the lattice winner stays
         # within one lattice step per axis.

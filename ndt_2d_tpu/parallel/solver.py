@@ -165,8 +165,12 @@ def solve_multichip(config: SolverConfig, mesh, poses, begin, end, transform,
         final = jnp.where(ok, out_poses, poses0)
         return final, ok, cost, iters
 
-    poses_out, ok, cost, iters = _solve(
-        poses, begin, end, transform, information, constraint_mask, free_mask,
-        jnp.asarray(robust_mask))
+    # Force f32 contractions: TPU's default bf16 matmul precision was
+    # measured to diverge the LM/PCG solve on real hardware (see
+    # graph/solver.py::solve); the context applies while _solve traces.
+    with jax.default_matmul_precision("highest"):
+        poses_out, ok, cost, iters = _solve(
+            poses, begin, end, transform, information, constraint_mask,
+            free_mask, jnp.asarray(robust_mask))
     return base.SolveResult(poses=poses_out, success=ok, cost=cost,
                             iterations=iters)
