@@ -121,21 +121,29 @@ def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                          spts, smask, pose, dths, dls, table=None):
     """Precompute per-(angle, beam) scoring operands with ONE row-gather.
 
-    Returns (bx, by, cross_x, cross_y  [A, B]; pack [A, B, 24]) where pack
-    holds the 2x2 neighborhood records (mean_x, mean_y, i00, i01, i11, ok)
-    in y-major order.  Shared by the XLA fast path and the Pallas kernel.
+    Returns (bx, by, cross_x, cross_y [A, B]; pack [A, B, 24]; bounds
+    (x_lo, x_hi, y_lo, y_hi) scalars) where pack holds the 2x2 neighborhood
+    records (mean_x, mean_y, i00, i01, i11, ok) in y-major order.  Shared
+    by the XLA fast path and the Pallas kernel.
 
-    All six per-cell fields live in one packed [H*W, 8] table
-    (ndt.grid.packed_cell_table) so the neighborhood fetch is a single
-    row-gather instead of three (mean / information / count) — gathers are
-    the hot path's bottleneck on TPU.  (A fancier (2,2,8) slice-gather of a
-    padded [H+2, W+2, 8] table measured 10x SLOWER than row-gathers here;
-    XLA:TPU lowers multi-dim slice gathers poorly.)
+    The whole 2x2 patch lives in ONE [H*W, 32] table row
+    (ndt.grid.packed_patch_table), so the neighborhood fetch is a single
+    row-gather per (angle, beam) — the kernel is gather-bound on TPU, and
+    this measured 2.8x faster than four [H*W, 8] row-gathers (which in turn
+    beat separate mean/information/count gathers; a (2,2,8) slice-gather of
+    a padded [H+2, W+2, 8] table measured 10x SLOWER — XLA:TPU lowers
+    multi-dim slice gathers poorly, row-gathers are the right shape).
+
+    The patch base index clips to [0, W-2] x [0, H-2] so every row read is
+    in-grid; candidates outside the grid MUST be masked by the returned
+    ``bounds`` in the selection phase (out-of-grid candidates may
+    geometrically select an in-grid patch column near the edges).
 
     Args:
-      table: optional prebuilt packed_cell_table(grid); pass it when the
-        grid is static across many matches (e.g. the localization global
-        NDT) so the stack isn't re-materialized inside every dispatch.
+      table: optional prebuilt packed_patch_table(grid, W); pass it when
+        the grid is static across many matches (e.g. the localization
+        global NDT) so the table isn't re-materialized inside every
+        dispatch.
     """
     W, H = config.grid_cells_x, config.grid_cells_y
     th = pose[2] + dths
@@ -147,27 +155,24 @@ def prepare_neighborhood(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     cell = grid.cell_size
     ix0 = jnp.floor((bx + dls[0] - grid.origin[0]) / cell).astype(jnp.int32)
     iy0 = jnp.floor((by + dls[0] - grid.origin[1]) / cell).astype(jnp.int32)
-    cross_x = grid.origin[0] + (ix0.astype(bx.dtype) + 1.0) * cell
-    cross_y = grid.origin[1] + (iy0.astype(by.dtype) + 1.0) * cell
+    ixc = jnp.clip(ix0, 0, W - 2)
+    iyc = jnp.clip(iy0, 0, H - 2)
+    cross_x = grid.origin[0] + (ixc.astype(bx.dtype) + 1.0) * cell
+    cross_y = grid.origin[1] + (iyc.astype(by.dtype) + 1.0) * cell
 
-    oxi = jnp.arange(2, dtype=jnp.int32)
-    ix = ix0[..., None] + oxi
-    iy = iy0[..., None] + oxi
-    in_x = (ix >= 0) & (ix < W)
-    in_y = (iy >= 0) & (iy < H)
-    flat = (jnp.clip(iy, 0, H - 1)[..., :, None] * W
-            + jnp.clip(ix, 0, W - 1)[..., None, :])        # [A, B, 2, 2]
+    flat = iyc * W + ixc                                   # [A, B]
     if table is None:
-        table = ndt_grid.packed_cell_table(grid)           # [H*W, 8]
-    nb = table[flat]                                       # [A, B, 2, 2, 8]
+        table = ndt_grid.packed_patch_table(grid, W)       # [H*W, 32]
+    nb = table[flat]                                       # [A, B, 32]
+    nb = nb.reshape(nb.shape[0], nb.shape[1], 2, 2, 8)     # y-major 2x2
 
-    ok = ((nb[..., 5] > 0.5)
-          & in_y[..., :, None] & in_x[..., None, :]
-          & smask[None, :, None, None])
+    ok = (nb[..., 5] > 0.5) & smask[None, :, None, None]
     pack = jnp.concatenate([nb[..., :5], ok[..., None].astype(nb.dtype)],
                            axis=-1)                        # [A, B, 2, 2, 6]
     a, b = pack.shape[0], pack.shape[1]
-    return bx, by, cross_x, cross_y, pack.reshape(a, b, 24)
+    bounds = (grid.origin[0], grid.origin[0] + W * cell,
+              grid.origin[1], grid.origin[1] + H * cell)
+    return bx, by, cross_x, cross_y, pack.reshape(a, b, 24), bounds
 
 
 def candidate_scores(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
@@ -224,17 +229,24 @@ def _candidate_scores_local(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     The neighborhood fetch (the path's only gather) is prepare_neighborhood,
     shared with the Pallas kernel.
     """
-    bx, by, cross_x, cross_y, pack24 = prepare_neighborhood(
+    bx, by, cross_x, cross_y, pack24, bounds = prepare_neighborhood(
         config, grid, spts, smask, pose, dths, dls, table=packed_table)
     a, b = pack24.shape[0], pack24.shape[1]
     pack = pack24.reshape(a, b, 2, 2, 6)                  # [A, B, 2(y), 2(x), 6]
 
     # Candidate offsets: jx/jy pick which neighborhood cell each (dx, dy)
     # lands in.  [A, Lx, B] / [A, Ly, B] booleans.
-    jx = (bx[:, None, :] + dls[None, :, None]) >= cross_x[:, None, :]
-    jy = (by[:, None, :] + dls[None, :, None]) >= cross_y[:, None, :]
+    wxc = bx[:, None, :] + dls[None, :, None]             # [A, Lx, B]
+    wyc = by[:, None, :] + dls[None, :, None]             # [A, Ly, B]
+    jx = wxc >= cross_x[:, None, :]
+    jy = wyc >= cross_y[:, None, :]
     jxf = jx[:, :, None, :, None]                         # [A, Lx, 1, B, 1]
     jyf = jy[:, None, :, :, None]                         # [A, 1, Ly, B, 1]
+    # Grid-bounds mask at CANDIDATE level (the patch base was clipped, so
+    # out-of-grid candidates can select in-grid patch data near the edges).
+    x_lo, x_hi, y_lo, y_hi = bounds
+    in_gx = ((wxc >= x_lo) & (wxc < x_hi))[:, :, None, :]  # [A, Lx, 1, B]
+    in_gy = ((wyc >= y_lo) & (wyc < y_hi))[:, None, :, :]  # [A, 1, Ly, B]
 
     def sel(v):
         """Select per-candidate value from the 2x2 neighborhood.
@@ -251,7 +263,7 @@ def _candidate_scores_local(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     psel = sel(pack)                                      # [A, Lx, Ly, B, 6]
     mx, my = psel[..., 0], psel[..., 1]
     i00, i01, i11 = psel[..., 2], psel[..., 3], psel[..., 4]
-    valid = psel[..., 5] > 0.5                            # smask already folded in
+    valid = (psel[..., 5] > 0.5) & in_gx & in_gy          # smask folded in
 
     qx = bx[:, None, None, :] + dls[None, :, None, None] - mx
     qy = by[:, None, None, :] + dls[None, None, :, None] - my
@@ -346,7 +358,7 @@ def match_scan(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid, points,
       grid: the window NDT (from build_window_ndt).
       points: [P, 2] robot-frame scan points (padded), point_mask: [P],
       num_points: scalar int, pose: [3] current scan pose estimate.
-      packed_table: optional prebuilt packed_cell_table(grid) for static
+      packed_table: optional prebuilt packed_patch_table(grid, W) for static
         grids matched many times (see prepare_neighborhood).
     """
     del range_max  # part of the signature for symmetry; unused here
@@ -625,8 +637,9 @@ def localization_step_async(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
 # Module-level jits: stable function identity so repeated add_scans calls hit
 # the trace cache instead of retracing (a fresh jit(vmap(...)) per call would
 # recompile every time — costly through a remote-compile relay).
-_PACK_SINGLE = jax.jit(ndt_grid.packed_cell_table)
-_PACK_MULTI = jax.jit(jax.vmap(ndt_grid.packed_cell_table))
+_PACK_SINGLE = jax.jit(ndt_grid.packed_patch_table, static_argnums=(1,))
+_PACK_MULTI = jax.jit(jax.vmap(ndt_grid.packed_patch_table,
+                               in_axes=(0, None)), static_argnums=(1,))
 
 
 class NDTScanMatcher:
@@ -667,7 +680,7 @@ class NDTScanMatcher:
                                      jnp.asarray(point_mask), window_mask,
                                      self.range_max)
         pack = (_PACK_MULTI if is_multi_grid(self.grid) else _PACK_SINGLE)
-        self.packed_table = pack(self.grid)
+        self.packed_table = pack(self.grid, self.config.grid_cells_x)
 
     def match_scan(self, points, point_mask, num_points, pose) -> MatchResult:
         if self.grid is None:  # "Scans must be added first" (:80)

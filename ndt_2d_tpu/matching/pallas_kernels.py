@@ -29,7 +29,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
-                  out_ref):
+                  bounds_ref, out_ref):
     """8 angles per program: score [B_pad] beams x [T_pad] candidates each.
 
     The angle loop is a static 8-way unroll (TPU blocks need a sublane dim
@@ -37,6 +37,8 @@ def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
     """
     dx = dx_ref[0, :]                                      # [T]
     dy = dy_ref[0, :]
+    x_lo, x_hi = bounds_ref[0, 0], bounds_ref[0, 1]
+    y_lo, y_hi = bounds_ref[0, 2], bounds_ref[0, 3]
 
     for a in range(bx_ref.shape[0]):
         bx = bx_ref[a, :]                                  # [B]
@@ -50,6 +52,11 @@ def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
         wy = by[:, None] + dy[None, :]
         jx = wx >= cx[:, None]
         jy = wy >= cy[:, None]
+        # Grid-bounds mask at candidate level (the patch base is clipped in
+        # prepare_neighborhood, so out-of-grid candidates can select
+        # in-grid data near the edges).
+        in_g = ((wx >= x_lo) & (wx < x_hi)
+                & (wy >= y_lo) & (wy < y_hi))
 
         def sel(k):
             """Select field k of the 2x2 records per candidate: [B, T]."""
@@ -64,7 +71,7 @@ def _score_kernel(bx_ref, by_ref, cx_ref, cy_ref, pack_ref, dx_ref, dy_ref,
         qx = wx - sel(0)
         qy = wy - sel(1)
         i00, i01, i11 = sel(2), sel(3), sel(4)
-        ok = sel(5) > 0.5
+        ok = (sel(5) > 0.5) & in_g
         e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
         score = jnp.where(ok, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
         out_ref[a, :] = -jnp.sum(score, axis=0)
@@ -85,8 +92,11 @@ def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     dtype = spts.dtype
 
     from ndt_2d_tpu.matching.matcher import prepare_neighborhood
-    bx, by, cx, cy, pack = prepare_neighborhood(
+    bx, by, cx, cy, pack, bounds = prepare_neighborhood(
         config, grid, spts, smask, pose, dths, dls, table=packed_table)
+    bounds_arr = jnp.zeros((1, 8), dtype)
+    bounds_arr = bounds_arr.at[0, :4].set(jnp.stack(
+        [jnp.asarray(v, dtype) for v in bounds]))
 
     B_pad = _round_up(B, 128)  # lane-dim divisibility for [., B_pad] blocks
     A_BLK = 8                  # sublane-dim minimum per block
@@ -126,11 +136,13 @@ def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_pad), lambda a: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda a: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((A_BLK, T_pad), lambda a: (a, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A_pad, T_pad), dtype),
         interpret=interpret,
-    )(bx, by, cx, cy, pack, dxv, dyv)
+    )(bx, by, cx, cy, pack, dxv, dyv, bounds_arr)
 
     return out[:A, :T].reshape(A, L, L)

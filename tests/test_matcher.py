@@ -163,6 +163,38 @@ class TestFastPathEquivalence:
         np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_paths_agree_at_grid_edges(self):
+        """The single-patch-gather fast path clips its patch base to the
+        grid; candidates straddling the grid BOUNDARY (cells -1/0 and
+        W-1/W) must still match the gather oracle exactly (the edge case
+        the candidate-level bounds mask exists for)."""
+        import jax.numpy as jnp
+        world = sim.make_box_world(10.0, 8.0)
+        m = registry.create("ndt", CFG, range_max=15.0)
+        poses = np.asarray([[5.0, 4.0, 0.0]], np.float32)
+        pts, mask, n = make_scan(poses[0], world)
+        m.add_scans(poses, pts[None], mask[None])
+
+        spts, smask, used = matcher.subsample(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.int32(n),
+            CFG.laser_max_beams)
+        dths, dls = matcher._search_offsets(CFG)
+        # Shift the grid origin so scan points land within one cell of the
+        # grid edge (and some outside): exercises clipped patch bases.
+        import dataclasses as dc
+        for dx, dy in [(7.45, 0.0), (0.0, 7.45), (7.4, 7.4), (-12.3, 0.0)]:
+            g = m.grid._replace(origin=m.grid.origin + jnp.asarray(
+                [dx, dy], m.grid.origin.dtype))
+            fast = matcher._candidate_scores_local(CFG, g, spts, smask,
+                                                   jnp.asarray(poses[0]),
+                                                   dths, dls)
+            slow = matcher._candidate_scores_gather(CFG, g, spts, smask,
+                                                    jnp.asarray(poses[0]),
+                                                    dths, dls)
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"origin shift ({dx},{dy})")
+
     def test_wide_window_uses_gather_path(self):
         import dataclasses as dc
         wide = dc.replace(CFG, search_linear_size=0.2,
