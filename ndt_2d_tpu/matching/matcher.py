@@ -265,8 +265,10 @@ def _candidate_scores_local(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     i00, i01, i11 = psel[..., 2], psel[..., 3], psel[..., 4]
     valid = (psel[..., 5] > 0.5) & in_gx & in_gy          # smask folded in
 
-    qx = bx[:, None, None, :] + dls[None, :, None, None] - mx
-    qy = by[:, None, None, :] + dls[None, None, :, None] - my
+    # Same candidate coordinates the bounds mask tested (wxc/wyc), in the
+    # [A, Lx, Ly, B] layout.
+    qx = wxc[:, :, None, :] - mx
+    qy = wyc[:, None, :, :] - my
     e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
     pt_scores = jnp.where(valid, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
     return -jnp.sum(pt_scores, axis=-1)

@@ -181,7 +181,6 @@ class TestFastPathEquivalence:
         dths, dls = matcher._search_offsets(CFG)
         # Shift the grid origin so scan points land within one cell of the
         # grid edge (and some outside): exercises clipped patch bases.
-        import dataclasses as dc
         for dx, dy in [(7.45, 0.0), (0.0, 7.45), (7.4, 7.4), (-12.3, 0.0)]:
             g = m.grid._replace(origin=m.grid.origin + jnp.asarray(
                 [dx, dy], m.grid.origin.dtype))
