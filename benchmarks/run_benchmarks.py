@@ -284,19 +284,27 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
         from ndt_2d_tpu.config import SolverConfig
         cfg = dc.replace(cfg, solver=dc.replace(
             SolverConfig(), robust_loss="geman_mcclure"))
+    # Pipelined mapping between loop-closure passes (each pass drains);
+    # poses resolve from the in-flight futures after the session.
+    cfg = dc.replace(cfg, max_inflight=8)
     mapper = Mapper(cfg)
 
-    est, used_truth, times = [], [], []
+    import jax
+
+    est_raw, used_truth, times = [], [], []
     t_all0 = time.perf_counter()
     for t, (msg, odom) in enumerate(bag):
         t0 = time.perf_counter()
         res = mapper.process_scan(msg, odom)
         if res.accepted:  # motion-gated scans cost microseconds; exclude
             times.append(time.perf_counter() - t0)
-            est.append(res.pose)
+            est_raw.append(res.pose if res.pose is not None
+                           else res.pose_future)
             used_truth.append(bag.truth[t])
+    mapper.flush()
     mapper.loop_closure()
     wall = time.perf_counter() - t_all0
+    est = [np.asarray(jax.device_get(p), np.float64) for p in est_raw]
     grid = mapper.render_map()
 
     closures = int(mapper.graph.constraint_switchable.sum())
@@ -671,7 +679,7 @@ def bench_config9(quick: bool) -> dict:
     cfg = dc.replace(_mapper_config(), global_scan_matcher=global_mcfg,
                      global_search_size=4.0, optimization_node_limit=10,
                      loop_closure_every=20, minimum_travel_distance=0.3,
-                     max_range=10.0,
+                     max_range=10.0, max_inflight=8,
                      # Loosened gate + redescending loss: admit closures
                      # within 85% of typical match quality and let the
                      # solver switch off any wrong one (config.py notes).
@@ -680,7 +688,9 @@ def bench_config9(quick: bool) -> dict:
                                        robust_loss="geman_mcclure"))
     mapper = Mapper(cfg)
 
-    est, used_truth, times = [], [], []
+    import jax
+
+    est_raw, used_truth, times = [], [], []
     t_all0 = time.perf_counter()
     for t in range(n):
         msg, odom = bag[t]
@@ -688,10 +698,13 @@ def bench_config9(quick: bool) -> dict:
         res = mapper.process_scan(msg, odom)
         if res.accepted:
             times.append(time.perf_counter() - t0)
-            est.append(res.pose)
+            est_raw.append(res.pose if res.pose is not None
+                           else res.pose_future)
             used_truth.append(truth[t])
+    mapper.flush()
     mapper.loop_closure()
     wall = time.perf_counter() - t_all0
+    est = [np.asarray(jax.device_get(p), np.float64) for p in est_raw]
     grid = mapper.render_map()
 
     out_dir = os.path.dirname(os.path.abspath(__file__))
