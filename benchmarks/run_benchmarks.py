@@ -612,6 +612,8 @@ def bench_config7(quick: bool) -> dict:
                 odom_alpha3=0.05, odom_alpha4=0.05))
         loc = Mapper(pf_cfg, seed=7)
         loc.configure(LOAD_FROM_FILE, path)
+        ploc = Mapper(dc.replace(pf_cfg, max_inflight=8), seed=7)
+        ploc.configure(LOAD_FROM_FILE, path)
 
     assert loc.global_localize(truth[0])
     initial_spread = float(loc.filter.get_covariance()[0, 0])
@@ -630,6 +632,32 @@ def bench_config7(quick: bool) -> dict:
             errs.append(e)
             if converged_at is None and e < 0.5:
                 converged_at = t
+
+    # Pipelined arm (max_inflight=8): the big-cloud PF state chains on
+    # device exactly like config 4's pipelined arm; per-scan convergence
+    # tracking still works because each step's mean pose comes back as an
+    # async future (ScanResult.pose_future) resolved after the run.
+    import jax
+    assert ploc.global_localize(truth[0])
+    futures, ptimes = [], []
+    t_pipe0 = time.perf_counter()
+    for t in range(1, n):
+        msg = sim.scan_at_pose(world, truth[t], n_beams=240, range_max=14.0,
+                               noise=0.01, rng=np.random.default_rng(900 + t))
+        t0 = time.perf_counter()
+        res = ploc.process_scan(msg, odom[t])
+        ptimes.append(time.perf_counter() - t0)
+        futures.append(res.pose_future)
+    ploc.flush()
+    pipe_wall = time.perf_counter() - t_pipe0
+    perrs, pconverged = [], None
+    for t, fut in enumerate(futures, start=1):
+        pose = np.asarray(jax.device_get(fut))
+        e = float(np.hypot(*(pose[:2] - rel_truth[t][:2])))
+        perrs.append(e)
+        if pconverged is None and e < 0.5:
+            pconverged = t
+
     return {
         "config": 7,
         "name": "global_relocalization",
@@ -641,6 +669,13 @@ def bench_config7(quick: bool) -> dict:
                             if errs else None),
         "scan_ms_median": (round(float(np.median(times[2:])) * 1e3, 2)
                            if len(times) > 2 else None),
+        "pipelined_scan_ms_median": (round(
+            float(np.median(np.asarray(ptimes[2:]))) * 1e3, 2)
+            if len(ptimes) > 2 else None),
+        "pipelined_wall_s": round(pipe_wall, 2),
+        "pipelined_converged_at_scan": pconverged,
+        "pipelined_final_pos_err_m": (round(float(np.mean(perrs[-3:])), 4)
+                                      if perrs else None),
     }
 
 

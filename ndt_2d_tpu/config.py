@@ -106,6 +106,15 @@ class ParticleFilterConfig:
     kld_bin_x: float = 0.5
     kld_bin_y: float = 0.5
     kld_bin_theta: float = 0.2671
+    # AMCL w_slow/w_fast recovery (Probabilistic Robotics table 8.3): when
+    # the short-term average measurement likelihood w_fast drops below the
+    # long-term average w_slow, a max(0, 1 - w_fast/w_slow) fraction of
+    # resampled particles is replaced by uniform draws over the map's free
+    # space, recovering from kidnapping/divergence.  The reference has NO
+    # such recovery (README.md:123-127); 0.0 disables (AMCL's own default).
+    # Typical values when enabled: slow 0.001, fast 0.1.
+    recovery_alpha_slow: float = 0.0
+    recovery_alpha_fast: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -161,6 +161,80 @@ def pf_step(key_motion, key_resample, particles, mask, control,
     return p, w, n, mean, cov
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "mcfg", "min_particles", "max_particles"))
+def pf_step_recovery(key_motion, key_resample, key_inject, particles, mask,
+                     control, mcfg, grid, points, point_mask, num_points,
+                     alphas, kld_err, kld_z, bin_sizes,
+                     min_particles: int, max_particles: int,
+                     free_xy, free_cell, w_slow, w_fast,
+                     alpha_slow, alpha_fast):
+    """pf_step + AMCL w_slow/w_fast recovery (Probabilistic Robotics
+    table 8.3), still ONE fused device dispatch.
+
+    The per-scan average measurement quality w_avg (the positive mean NDT
+    likelihood over active particles; score_points_batch returns its
+    negation) feeds two EWMAs: w_slow (long-term) and w_fast (short-term).
+    After KLD resampling, each surviving particle is replaced with
+    probability max(0, 1 - w_fast/w_slow) by a uniform draw over the map's
+    free space — so a sustained drop in measurement quality (kidnapping,
+    divergence) injects exploration mass exactly the way AMCL does.  The
+    reference filter has no such recovery (README.md:123-127).
+
+    With w_fast >= w_slow (injection probability 0) the returned cloud is
+    BITWISE identical to pf_step on the same key_motion/key_resample
+    (pinned by tests/test_particle.py).
+
+    Args (beyond pf_step):
+      key_inject: RNG key for the injection draws.
+      free_xy: [F, 2] world-frame centers of free map cells.
+      free_cell: scalar — jitter each draw uniformly within its cell.
+      w_slow, w_fast: scalar EWMA state (0.0 = uninitialized, AMCL's own
+        convention: first update seeds both to w_avg).
+      alpha_slow, alpha_fast: EWMA gains (config.recovery_alpha_*).
+
+    Returns (particles, weights, n_active, mean, cov, w_slow', w_fast').
+    """
+    p = motion_model.sample(key_motion, particles, control[0], control[1],
+                            control[2], alphas[0], alphas[1], alphas[2],
+                            alphas[3])
+    scores = matcher_mod.score_points_batch(mcfg, grid, points, point_mask,
+                                            num_points, p)
+    goodness = -scores                       # positive mean likelihood
+    n_in = jnp.maximum(jnp.sum(mask), 1)
+    w_avg = jnp.sum(jnp.where(mask, goodness, 0.0)) / n_in.astype(
+        goodness.dtype)
+    w_slow = jnp.where(w_slow == 0.0, w_avg,
+                       w_slow + alpha_slow * (w_avg - w_slow))
+    w_fast = jnp.where(w_fast == 0.0, w_avg,
+                       w_fast + alpha_fast * (w_avg - w_fast))
+    p_inject = jnp.maximum(0.0, 1.0 - w_fast / jnp.maximum(w_slow, 1e-30))
+
+    samp, samp_w, n = kld_resample(key_resample, p, scores, mask, kld_err,
+                                   kld_z, bin_sizes, min_particles,
+                                   max_particles)
+    new_mask = jnp.arange(max_particles) < n
+
+    k_sel, k_idx, k_jit, k_th = jax.random.split(key_inject, 4)
+    m = max_particles
+    inject = (jax.random.uniform(k_sel, (m,)) < p_inject) & new_mask
+    idx = jax.random.randint(k_idx, (m,), 0, free_xy.shape[0])
+    jit_xy = jax.random.uniform(k_jit, (m, 2), samp.dtype, -0.5, 0.5)
+    th = jax.random.uniform(k_th, (m, 1), samp.dtype, -np.pi, np.pi)
+    rand_p = jnp.concatenate([free_xy[idx] + jit_xy * free_cell, th],
+                             axis=-1)
+    # Injected particles take the active mean weight: neutral in the
+    # statistics, corrected by the next scan's measurement (AMCL gives its
+    # random particles the uniform 1/M weight for the same reason).
+    neutral_w = (jnp.sum(jnp.where(new_mask, samp_w, 0.0))
+                 / jnp.maximum(n, 1).astype(samp_w.dtype))
+    samp = jnp.where(inject[:, None], rand_p, samp)
+    samp_w = jnp.where(inject, neutral_w, samp_w)
+
+    w, mean, cov = update_statistics(samp, samp_w, new_mask)
+    return samp, w, n, mean, cov, w_slow, w_fast
+
+
 class ParticleFilter:
     """Host-side stateful wrapper (the reference class surface:
     init / update / measure / resample / getMean / getCovariance,
@@ -177,6 +251,13 @@ class ParticleFilter:
         # step's mask derive on device without waiting for the host fetch
         # (the pipelined localization path, mapping/mapper.py).
         self._n_dev = None
+        # AMCL recovery state (pf_step_recovery): free-space sample pool and
+        # the w_slow/w_fast EWMAs, chained on device so the pipelined path
+        # never blocks on them.  0.0 = uninitialized (first w_avg seeds both).
+        self.free_xy = None
+        self.free_cell = 0.0
+        self.w_slow = jnp.float32(0.0)
+        self.w_fast = jnp.float32(0.0)
         self._refresh_statistics()
 
     # ------------------------------------------------------------------
@@ -206,6 +287,8 @@ class ParticleFilter:
         self.particles = p.at[:, 2].set(normalize_angle(p[:, 2]))
         self.weights = jnp.full((self.config.max_particles,),
                                 1.0 / self.n_active, jnp.float32)
+        self.w_slow = jnp.float32(0.0)
+        self.w_fast = jnp.float32(0.0)
         self._refresh_statistics()
 
     def init_global(self, free_xy, cell_size: float):
@@ -229,7 +312,24 @@ class ParticleFilter:
         self.particles = p
         self.n_active = m
         self.weights = jnp.full((m,), 1.0 / m, jnp.float32)
+        self.w_slow = jnp.float32(0.0)
+        self.w_fast = jnp.float32(0.0)
+        # The free-space pool doubles as the recovery injection pool.
+        self.set_free_space(free, cell_size)
         self._refresh_statistics()
+
+    def set_free_space(self, free_xy, cell_size: float) -> None:
+        """Provide the free-space sample pool used by AMCL-style recovery
+        injection (pf_step_recovery).  Recovery activates when both
+        config.recovery_alpha_* are > 0 AND a pool is set."""
+        self.free_xy = jnp.asarray(free_xy, jnp.float32)
+        self.free_cell = float(cell_size)
+
+    @property
+    def recovery_enabled(self) -> bool:
+        c = self.config
+        return (c.recovery_alpha_slow > 0.0 and c.recovery_alpha_fast > 0.0
+                and self.free_xy is not None and len(self.free_xy) > 0)
 
     def update(self, dx, dy, dth):
         """Motion update (particle_filter.cpp:71-76)."""
@@ -273,17 +373,30 @@ class ParticleFilter:
         import jax
 
         c = self.config
-        k1, k2 = jax.random.split(self._split())
         alphas = jnp.asarray([c.odom_alpha1, c.odom_alpha2, c.odom_alpha3,
                               c.odom_alpha4], jnp.float32)
         bins = jnp.asarray([c.kld_bin_x, c.kld_bin_y, c.kld_bin_theta],
                            jnp.float32)
-        p, w, n, mean, cov = pf_step(
-            k1, k2, self.particles, self.mask,
-            jnp.asarray(control, jnp.float32), matcher.config, matcher.grid,
-            jnp.asarray(points), jnp.asarray(point_mask),
-            jnp.int32(num_points), alphas, jnp.float32(c.kld_err),
-            jnp.float32(c.kld_z), bins, c.min_particles, c.max_particles)
+        if self.recovery_enabled:
+            k1, k2, k3 = jax.random.split(self._split(), 3)
+            p, w, n, mean, cov, self.w_slow, self.w_fast = pf_step_recovery(
+                k1, k2, k3, self.particles, self.mask,
+                jnp.asarray(control, jnp.float32), matcher.config,
+                matcher.grid, jnp.asarray(points), jnp.asarray(point_mask),
+                jnp.int32(num_points), alphas, jnp.float32(c.kld_err),
+                jnp.float32(c.kld_z), bins, c.min_particles, c.max_particles,
+                self.free_xy, jnp.float32(self.free_cell),
+                self.w_slow, self.w_fast,
+                jnp.float32(c.recovery_alpha_slow),
+                jnp.float32(c.recovery_alpha_fast))
+        else:
+            k1, k2 = jax.random.split(self._split())
+            p, w, n, mean, cov = pf_step(
+                k1, k2, self.particles, self.mask,
+                jnp.asarray(control, jnp.float32), matcher.config,
+                matcher.grid, jnp.asarray(points), jnp.asarray(point_mask),
+                jnp.int32(num_points), alphas, jnp.float32(c.kld_err),
+                jnp.float32(c.kld_z), bins, c.min_particles, c.max_particles)
         self.particles, self.weights = p, w
         self._n_dev = n
         for leaf in (n, mean, cov):

@@ -243,6 +243,24 @@ class Mapper:
         return True
 
     # ------------------------------------------------------------------
+    def _map_free_space(self):
+        """World-frame centers of observed-free occupancy cells, or None.
+
+        Renders the occupancy grid directly: render_map() would clear the
+        map_update_available publisher flag as a side effect, suppressing
+        the post-load map publish in the live-serve runtime.
+        """
+        g = self.graph
+        grid = occupancy.render_occupancy(
+            g.poses, g.points, g.point_mask, self.config.resolution,
+            self.config.occupancy_threshold)
+        free = np.argwhere(grid.data == 0)                 # [N, (iy, ix)]
+        if not len(free):
+            return None
+        centers = grid.origin + (free[:, ::-1] + 0.5) * grid.resolution
+        return centers, grid.resolution
+
+    # ------------------------------------------------------------------
     def global_localize(self, odom_pose) -> bool:
         """Global relocalization: seed the particle cloud uniformly over the
         map's free space (AMCL's global_localization service; the reference
@@ -260,19 +278,12 @@ class Mapper:
         if not self.graph.num_scans:
             logger.error("global_localize requires a loaded map")
             return False
-        # Render the occupancy grid directly: render_map() would clear the
-        # map_update_available publisher flag as a side effect, suppressing
-        # the post-load map publish in the live-serve runtime.
-        g = self.graph
-        grid = occupancy.render_occupancy(
-            g.poses, g.points, g.point_mask, self.config.resolution,
-            self.config.occupancy_threshold)
-        free = np.argwhere(grid.data == 0)                 # [N, (iy, ix)]
-        if not len(free):
+        fs = self._map_free_space()
+        if fs is None:
             logger.error("map has no observed-free cells")
             return False
-        centers = grid.origin + (free[:, ::-1] + 0.5) * grid.resolution
-        self.filter.init_global(centers, grid.resolution)
+        centers, res = fs
+        self.filter.init_global(centers, res)
         self._pose_dev = None
         self.prev_robot_pose = self.filter.get_mean().astype(np.float64)
         self.prev_odom_pose = np.asarray(odom_pose, np.float64).copy()
@@ -710,6 +721,16 @@ class Mapper:
                                  num_points) -> ScanResult:
         """Particle-filter branch (ndt_mapper.cpp:455-494)."""
         f = self.filter
+        pc = f.config
+        if (pc.recovery_alpha_slow > 0.0 and pc.recovery_alpha_fast > 0.0
+                and f.free_xy is None and self.graph.num_scans):
+            # Arm AMCL-style recovery injection: build the free-space pool
+            # once from the loaded map (pf_step_recovery needs somewhere to
+            # put the injected particles).
+            fs = self._map_free_space()
+            if fs is not None:
+                f.set_free_space(*fs)
+                logger.info("PF recovery armed: %d free cells", len(fs[0]))
         if self.config.max_inflight > 0:
             # Pipelined: the control equals the odometry delta in the
             # previous robot frame (see _odom_delta), so the dispatch needs

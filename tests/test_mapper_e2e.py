@@ -533,3 +533,37 @@ class TestParticleFilterLocalization:
         half = len(errs) // 2
         assert np.mean(errs[half:]) < np.mean(errs[:half]) + 0.15
 
+    def test_recovery_arms_lazily_from_loaded_map(self, tmp_path):
+        """With recovery_alpha_* set, the mapper builds the free-space pool
+        from the loaded map on the first PF scan and the EWMAs start
+        tracking measurement quality (pf_step_recovery path)."""
+        world = sim.make_box_world(10.0, 8.0)
+        truth = np.stack([np.linspace(3.0, 7.0, 10),
+                          np.full(10, 4.0), np.zeros(10)], axis=-1)
+        mapper, _, _ = run_mapping(world, truth, truth.copy(), range_max=14.0)
+        path = str(tmp_path / "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+
+        pf_cfg = dataclasses.replace(
+            CFG, use_particle_filter=True,
+            particle_filter=dataclasses.replace(
+                MapperConfig().particle_filter,
+                min_particles=80, max_particles=300,
+                recovery_alpha_slow=0.05, recovery_alpha_fast=0.5))
+        loc = Mapper(pf_cfg, seed=3)
+        loc.configure(LOAD_FROM_FILE, path)
+        rel_truth = metrics.relative_to_first(truth)
+        loc.set_initial_pose(rel_truth[0], np.diag([0.04, 0.04, 0.01]),
+                             truth[0])
+        assert loc.filter.free_xy is None  # not armed before the first scan
+        for t in range(1, 4):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=14.0, noise=0.01,
+                                   rng=np.random.default_rng(40 + t))
+            loc.process_scan(msg, truth[t])
+        assert loc.filter.recovery_enabled
+        assert len(loc.filter.free_xy) > 100
+        # EWMAs seeded from the first measurement and positive since.
+        assert float(loc.filter.w_slow) > 0.0
+        assert float(loc.filter.w_fast) > 0.0
+

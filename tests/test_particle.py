@@ -231,3 +231,175 @@ class TestSortedDedupEquivalence:
         done = (mi >= 50) & (mi >= mx)
         expect = int(np.argmax(done) + 1) if done.any() else m
         assert int(n) == expect
+
+
+class TestRecovery:
+    """AMCL w_slow/w_fast recovery injection (pf_step_recovery) — a
+    capability the reference explicitly lacks (README.md:123-127)."""
+
+    def _world_fixture(self):
+        from ndt_2d_tpu.matching import registry
+        from ndt_2d_tpu.utils import sim
+        # Symmetry-broken box so distinct poses are distinguishable.
+        # NOTE: features must not map onto each other under the box's 180°
+        # rotation symmetry, or the kidnapped filter locks onto the mirror
+        # mode.
+        world = np.concatenate([
+            sim.make_box_world(12.0, 8.0),
+            np.asarray([[[3.0, 0.0], [3.0, 3.0]]]),
+            np.asarray([[[1.0, 6.0], [2.5, 7.5]]]),
+            np.asarray([[[8.0, 8.0], [8.0, 6.8]]]),
+        ], axis=0)
+        mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=160)
+        m = registry.create("ndt", mcfg, 15.0)
+        poses = np.asarray([[x, y, 0.0] for x in (1.5, 6.0, 10.5)
+                            for y in (1.5, 6.5)], np.float32)
+        pts, msk = [], []
+        for p in poses:
+            msg = sim.scan_at_pose(world, p, n_beams=240, range_max=15.0,
+                                   noise=0.005,
+                                   rng=np.random.default_rng(5))
+            a, b = sim.project_scan(msg, 512)
+            pts.append(a)
+            msk.append(b)
+        m.add_scans(poses, np.stack(pts), np.stack(msk))
+        # Interior free-space pool on a coarse lattice.
+        gx, gy = np.meshgrid(np.arange(0.5, 11.6, 0.5),
+                             np.arange(0.5, 7.6, 0.5))
+        free = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+        return world, m, free
+
+    def _scan(self, world, pose, seed):
+        from ndt_2d_tpu.utils import sim
+        msg = sim.scan_at_pose(world, pose, n_beams=240, range_max=15.0,
+                               noise=0.005, rng=np.random.default_rng(seed))
+        return sim.project_scan(msg, 512)
+
+    def test_zero_injection_bitwise_equals_pf_step(self):
+        """With w_fast >= w_slow the recovery step must be bitwise pf_step."""
+        from ndt_2d_tpu.filter.particle_filter import pf_step, pf_step_recovery
+        world, m, free = self._world_fixture()
+        pts, msk = self._scan(world, [6.0, 6.5, 0.0], 11)
+        n_pts = jnp.int32(int(msk.sum()))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        mp = 256
+        particles = jnp.asarray(
+            np.random.default_rng(1).normal([6.0, 6.5, 0.0], 0.3, (mp, 3)),
+            jnp.float32)
+        mask = jnp.ones(mp, bool)
+        ctl = jnp.zeros(3, jnp.float32)
+        alphas = jnp.full(4, 0.05, jnp.float32)
+        bins = jnp.asarray([0.5, 0.5, 0.2671], jnp.float32)
+        args = (particles, mask, ctl, m.config, m.grid,
+                jnp.asarray(pts), jnp.asarray(msk), n_pts, alphas,
+                jnp.float32(0.01), jnp.float32(2.3), bins, 50, mp)
+        base = pf_step(k1, k2, *args)
+        rec = pf_step_recovery(
+            k1, k2, k3, *args, jnp.asarray(free, jnp.float32),
+            jnp.float32(0.5), jnp.float32(1.0), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.0))
+        for a, b in zip(base, rec[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_injection_fraction_matches_probability(self):
+        """w_fast/w_slow = 0.05 with frozen EWMAs → ~95% uniform draws."""
+        from ndt_2d_tpu.filter.particle_filter import pf_step_recovery
+        world, m, free = self._world_fixture()
+        pts, msk = self._scan(world, [6.0, 6.5, 0.0], 12)
+        n_pts = jnp.int32(int(msk.sum()))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+        mp = 2048
+        rng = np.random.default_rng(2)
+        particles = jnp.asarray(
+            rng.normal([6.0, 6.5, 0.0], 0.05, (mp, 3)), jnp.float32)
+        mask = jnp.ones(mp, bool)
+        alphas = jnp.full(4, 0.02, jnp.float32)
+        bins = jnp.asarray([0.5, 0.5, 0.2671], jnp.float32)
+        out = pf_step_recovery(
+            k1, k2, k3, particles, mask, jnp.zeros(3, jnp.float32),
+            m.config, m.grid, jnp.asarray(pts), jnp.asarray(msk), n_pts,
+            alphas, jnp.float32(0.01), jnp.float32(2.3), bins, 200, mp,
+            jnp.asarray(free, jnp.float32), jnp.float32(0.5),
+            jnp.float32(1.0), jnp.float32(0.05),
+            jnp.float32(0.0), jnp.float32(0.0))
+        p, _, n = np.asarray(out[0]), out[1], int(out[2])
+        # Injected particles scatter over the whole free space; survivors
+        # stay within the tight initial cluster.
+        far = np.hypot(p[:n, 0] - 6.0, p[:n, 1] - 6.5) > 1.0
+        frac = far.mean()
+        assert 0.85 < frac < 1.0, frac
+        # EWMAs passed through unchanged (alpha = 0).
+        assert float(out[5]) == 1.0 and abs(float(out[6]) - 0.05) < 1e-6
+
+    def test_kidnapped_robot_recovers(self):
+        """Track, kidnap, recover: with recovery armed the cloud re-localizes
+        near the new true pose; without it the filter stays lost.
+
+        Uses benchmark config 7's symmetry-broken office (the diagonal in
+        the NW corner is the only feature distinguishing the four corridor
+        arms); the kidnapped pose faces that feature, so the correct mode
+        dominates the injected hypotheses.  The box world above is too
+        symmetric: the NDT likelihood is forgiving enough that the filter
+        locks onto 180°-mirror modes — AMCL behaves the same way.
+        """
+        import dataclasses as dc
+        from ndt_2d_tpu.matching import registry
+        from ndt_2d_tpu.utils import sim
+        world = np.concatenate([
+            sim.make_office_world(16.0),
+            np.asarray([[[1.0, 13.0], [3.0, 15.0]]]),
+        ], axis=0)
+        mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
+        m = registry.create("ndt", mcfg, 14.0)
+        ring = ([(x, 2.0) for x in (2, 6, 10, 14)]
+                + [(14.0, y) for y in (6, 10, 14)]
+                + [(x, 14.0) for x in (10, 6, 2)]
+                + [(2.0, y) for y in (10, 6)])
+        poses = np.asarray([[x, y, 0.0] for x, y in ring], np.float32)
+        pts_l, msk_l = [], []
+        for i, p in enumerate(poses):
+            msg = sim.scan_at_pose(world, p, n_beams=240, range_max=14.0,
+                                   noise=0.005, rng=np.random.default_rng(i))
+            a, b = sim.project_scan(msg, 512)
+            pts_l.append(a)
+            msk_l.append(b)
+        m.add_scans(poses, np.stack(pts_l), np.stack(msk_l))
+        free = np.asarray([(x, y)
+                           for x in np.arange(0.75, 15.3, 0.5)
+                           for y in np.arange(0.75, 15.3, 0.5)
+                           if not (4.3 < x < 11.7 and 4.3 < y < 11.7)])
+
+        start = np.asarray([8.0, 2.0, 0.0])
+        kidnapped = np.asarray([2.0, 13.0, np.pi / 2])
+
+        def scan(pose, seed):
+            msg = sim.scan_at_pose(world, pose, n_beams=240, range_max=14.0,
+                                   noise=0.005,
+                                   rng=np.random.default_rng(seed))
+            return sim.project_scan(msg, 512)
+
+        def run(alpha_slow, alpha_fast, seed):
+            f = ParticleFilter(dc.replace(
+                CFG, min_particles=300, max_particles=3000,
+                odom_alpha1=0.05, odom_alpha2=0.05, odom_alpha3=0.05,
+                odom_alpha4=0.05, recovery_alpha_slow=alpha_slow,
+                recovery_alpha_fast=alpha_fast), seed=seed)
+            f.set_free_space(free, 0.5)
+            f.init(start[0], start[1], start[2], 0.2, 0.2, 0.1)
+            # Phase 1: track at the start pose (builds healthy w_slow).
+            for t in range(5):
+                pts, msk = scan(start, 100 + t)
+                f.step(m, np.zeros(3), pts, msk, int(msk.sum()))
+            # Phase 2: kidnapped — scans now come from elsewhere, odometry
+            # reports no motion.
+            for t in range(30):
+                pts, msk = scan(kidnapped, 200 + t)
+                f.step(m, np.zeros(3), pts, msk, int(msk.sum()))
+            return f.get_mean()
+
+        recovered = run(0.02, 0.9, seed=4)
+        err_rec = float(np.hypot(*(recovered[:2] - kidnapped[:2])))
+        lost = run(0.0, 0.0, seed=4)
+        err_lost = float(np.hypot(*(lost[:2] - kidnapped[:2])))
+        assert err_rec < 2.0, (err_rec, recovered)
+        assert err_lost > 8.0, (err_lost, lost)
