@@ -289,7 +289,7 @@ class Mapper:
         self.prev_odom_pose = np.asarray(odom_pose, np.float64).copy()
         self.prev_odom_pose_is_initialized = True
         logger.info("Global localization: %d particles over %d free cells",
-                    self.filter.n_active, len(free))
+                    self.filter.n_active, len(centers))
         return True
 
     # ------------------------------------------------------------------
