@@ -218,6 +218,15 @@ class MapperConfig:
     # and as the equivalence oracle.
     batch_loop_closure: bool = True
 
+    # Pipeline the whole loop-closure pass: dispatch every pending scan's
+    # batched confirmation before draining any (host copies issued at
+    # dispatch), so a pass costs one relay round-trip instead of one per
+    # candidate-bearing scan.  Decision-identical to the per-scan path (an
+    # acceptance restarts the pass from the corrected graph;
+    # tests/test_mapper_e2e.py::TestPipelinedLoopClosure pins it).  Only
+    # applies when batch_loop_closure is in effect.
+    pipeline_loop_closure: bool = True
+
     # Loop-closure candidate source: "radius" = barycenter radius search
     # (Graph::findNearest parity, graph.cpp:167-189); "descriptor" =
     # appearance-based cosine correlation over rotation-invariant keyframe

@@ -793,14 +793,19 @@ class Mapper:
                 g.points_padded, g.point_mask_padded,
                 np.float32(self.range_max), self.config.descriptor_bins)
             desc_valid = np.arange(g.points_padded.shape[0]) < num_scans
-        while self.global_scans_processed < num_scans:
-            idx = self.global_scans_processed
-            with self.stats.timer.section("loop_closure"):
-                candidates = self._loop_candidates(idx, desc_table,
-                                                   desc_valid)
-                if candidates:
-                    added += self._confirm_candidates(idx, candidates)
-            self.global_scans_processed += 1
+        if self._fused_confirmation_available() and \
+                self.config.pipeline_loop_closure:
+            added = self._loop_closure_pass_pipelined(num_scans, desc_table,
+                                                      desc_valid)
+        else:
+            while self.global_scans_processed < num_scans:
+                idx = self.global_scans_processed
+                with self.stats.timer.section("loop_closure"):
+                    candidates = self._loop_candidates(idx, desc_table,
+                                                       desc_valid)
+                    if candidates:
+                        added += self._confirm_candidates(idx, candidates)
+                self.global_scans_processed += 1
 
         # Optimization cadence (ndt_mapper.cpp:676-683).
         if added and (num_scans - self.optimization_last
@@ -896,14 +901,53 @@ class Mapper:
                     i, idx, score)
         return False
 
+    def _fused_confirmation_available(self) -> bool:
+        """Whether the single-dispatch vmapped confirmation applies (NDT
+        matchers only; plugin matchers fall back to the sequential path)."""
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        return (self.config.batch_loop_closure
+                and isinstance(self.global_matcher, NDTScanMatcher)
+                and (self.coarse_matcher is None
+                     or isinstance(self.coarse_matcher, NDTScanMatcher)))
+
+    def _loop_closure_pass_pipelined(self, num_scans: int, desc_table,
+                                     desc_valid) -> int:
+        """Pipeline a whole loop-closure pass: dispatch the vmapped
+        confirmation for EVERY pending scan first (host copies issued at
+        dispatch time), then drain in scan order — one relay round-trip per
+        pass instead of one per candidate-bearing scan.
+
+        Decisions are identical to the per-scan path: each dispatch depends
+        only on graph state, which rejections never touch; the first
+        acceptance invalidates the remaining in-flight results and the pass
+        restarts from the next scan with the corrected graph — exactly the
+        state the per-scan path would have seen.  Equivalence is pinned by
+        tests/test_mapper_e2e.py::TestPipelinedLoopClosure."""
+        added = 0
+        while self.global_scans_processed < num_scans:
+            inflight = []
+            for j in range(self.global_scans_processed, num_scans):
+                with self.stats.timer.section("loop_closure"):
+                    cands = self._loop_candidates(j, desc_table, desc_valid)
+                    if cands:
+                        starts, out, desc = self._dispatch_confirm(j, cands)
+                        inflight.append((j, cands, starts, out, desc))
+            self.global_scans_processed = num_scans
+            for (j, cands, starts, out, desc) in inflight:
+                with self.stats.timer.section("loop_closure"):
+                    a, changed = self._drain_confirm(j, cands, starts, out,
+                                                     desc)
+                added += a
+                if changed and j + 1 < num_scans:
+                    # Everything dispatched after j saw the pre-acceptance
+                    # graph; recompute candidates from the corrected state.
+                    self.global_scans_processed = j + 1
+                    break
+        return added
+
     def _confirm_candidates(self, idx: int, candidates: list) -> int:
         """Confirm the candidates of scan ``idx``; returns closures added."""
-        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
-        fused = (self.config.batch_loop_closure
-                 and isinstance(self.global_matcher, NDTScanMatcher)
-                 and (self.coarse_matcher is None
-                      or isinstance(self.coarse_matcher, NDTScanMatcher)))
-        if fused:
+        if self._fused_confirmation_available():
             return self._confirm_candidates_batched(idx, candidates)
         return self._confirm_candidates_sequential(idx, candidates)
 
@@ -952,6 +996,17 @@ class Mapper:
         preserved: if a mid-batch acceptance moves the scan pose, the
         remaining candidates re-match from the corrected pose (rare — one
         extra dispatch per acceptance)."""
+        starts, out, descriptor = self._dispatch_confirm(idx, candidates)
+        added, _ = self._drain_confirm(idx, candidates, starts, out,
+                                       descriptor)
+        return added
+
+    def _dispatch_confirm(self, idx: int, candidates: list):
+        """Build + dispatch the vmapped confirmation of all ``candidates``
+        of scan ``idx``; host copies of the results are issued immediately so
+        a later drain pays only the (small) async-copy completion, not a full
+        synchronous device pull.  Returns (starts, device outputs,
+        descriptor-mode flag)."""
         import jax
         import jax.numpy as jnp
 
@@ -986,13 +1041,25 @@ class Mapper:
         if descriptor:
             out = matcher_mod.match_scan_batch_coarse_fine(
                 self.coarse_matcher.config, self.global_matcher.config, *args)
-            fine_starts, scores, corrs, covs = jax.device_get(out)
-            starts = np.asarray(fine_starts, np.float64)
         else:
             out = matcher_mod.match_scan_batch(
                 self.global_matcher.config, *args)
+        for leaf in jax.tree_util.tree_leaves(out):
+            leaf.copy_to_host_async()
+        return starts, out, descriptor
+
+    def _drain_confirm(self, idx: int, candidates: list, starts, out,
+                       descriptor: bool):
+        """Fetch a dispatched confirmation and apply the acceptance gates in
+        candidate order.  Returns (closures added, graph changed)."""
+        import jax
+        if descriptor:
+            fine_starts, scores, corrs, covs = jax.device_get(out)
+            starts = np.asarray(fine_starts, np.float64)
+        else:
             scores, corrs, covs = jax.device_get(out)
 
+        K = len(candidates)
         added = 0
         for j, i in enumerate(candidates):
             ok = self._apply_gate(idx, i, starts[j], float(scores[j]),
@@ -1005,8 +1072,8 @@ class Mapper:
                     # pose.  Re-batch just those.
                     added += self._confirm_candidates_batched(
                         idx, candidates[j + 1:])
-                    return added
-        return added
+                return added, True
+        return added, False
 
     def _check_batch_capacity(self, poses, wmask) -> None:
         """Static-grid capacity check over all candidate windows (the same

@@ -303,6 +303,53 @@ class TestBatchedLoopClosureEquivalence:
         np.testing.assert_allclose(bat["poses"], seq["poses"], atol=1e-5)
 
 
+class TestPipelinedLoopClosure:
+    """config.pipeline_loop_closure: the whole-pass pipelined confirmation
+    (dispatch all pending scans, then drain; mapper._loop_closure_pass_
+    pipelined) must make bitwise-identical decisions to the per-scan batched
+    path, including the restart-on-acceptance case."""
+
+    @pytest.mark.parametrize("loop_search", ["radius", "descriptor"])
+    def test_same_closures_and_poses(self, loop_search):
+        world, truth, odom = _office_loop_inputs()
+        global_mcfg = ScanMatcherConfig(
+            ndt_resolution=0.35, search_linear_size=0.15,
+            search_linear_resolution=0.01, search_angular_size=0.05,
+            grid_cells_x=160, grid_cells_y=160)
+        base = dataclasses.replace(
+            CFG, global_scan_matcher=global_mcfg,
+            global_search_size=4.0, optimization_node_limit=10**9,
+            loop_search=loop_search, descriptor_min_similarity=0.97,
+            batch_loop_closure=True)
+
+        results = {}
+        for pipelined in (False, True):
+            cfg = dataclasses.replace(base,
+                                      pipeline_loop_closure=pipelined)
+            mapper, est, used_truth = run_mapping(world, truth, odom,
+                                                  cfg=cfg, range_max=12.0,
+                                                  n_beams=600)
+            mapper.loop_closure()
+            g = mapper.graph
+            results[pipelined] = dict(
+                begin=g.constraint_begin.copy(), end=g.constraint_end.copy(),
+                switchable=g.constraint_switchable.copy(),
+                poses=g.poses.copy(),
+                accepted=mapper.stats.loop_closures_accepted,
+                rejected=mapper.stats.loop_closures_rejected)
+
+        seq, pipe = results[False], results[True]
+        # The restart-on-acceptance branch must actually be exercised.
+        assert seq["accepted"] >= 1, "scenario must fire at least one closure"
+        assert pipe["accepted"] == seq["accepted"]
+        assert pipe["rejected"] == seq["rejected"]
+        np.testing.assert_array_equal(pipe["begin"], seq["begin"])
+        np.testing.assert_array_equal(pipe["end"], seq["end"])
+        np.testing.assert_array_equal(pipe["switchable"], seq["switchable"])
+        # Same jitted dispatches in the same order => bitwise-equal poses.
+        np.testing.assert_array_equal(pipe["poses"], seq["poses"])
+
+
 class TestPipelinedMapping:
     """config.max_inflight > 0: device-resident pose chain + async drains
     (matcher.mapping_step_async) must reproduce the synchronous path."""
