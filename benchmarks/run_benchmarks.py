@@ -284,71 +284,77 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
         from ndt_2d_tpu.config import SolverConfig
         cfg = dc.replace(cfg, solver=dc.replace(
             SolverConfig(), robust_loss="geman_mcclure"))
-    # Pipelined mapping between loop-closure passes (each pass drains);
-    # poses resolve from the in-flight futures after the session.
-    cfg = dc.replace(cfg, max_inflight=8)
-    mapper = Mapper(cfg)
-
     import jax
 
-    est_raw, used_truth, times = [], [], []
-    t_all0 = time.perf_counter()
-    for t, (msg, odom) in enumerate(bag):
-        t0 = time.perf_counter()
-        res = mapper.process_scan(msg, odom)
-        if res.accepted:  # motion-gated scans cost microseconds; exclude
-            times.append(time.perf_counter() - t0)
-            est_raw.append(res.pose if res.pose is not None
-                           else res.pose_future)
-            used_truth.append(bag.truth[t])
-    mapper.flush()
-    mapper.loop_closure()
-    wall = time.perf_counter() - t_all0
-    est = [np.asarray(jax.device_get(p), np.float64) for p in est_raw]
-    grid = mapper.render_map()
+    def run_session(session_cfg):
+        """One full SLAM session; returns (metrics dict, mapper)."""
+        mapper = Mapper(session_cfg)
+        est_raw, used_truth, times = [], [], []
+        t_all0 = time.perf_counter()
+        for t, (msg, odom) in enumerate(bag):
+            t0 = time.perf_counter()
+            res = mapper.process_scan(msg, odom)
+            if res.accepted:  # motion-gated scans cost microseconds; exclude
+                times.append(time.perf_counter() - t0)
+                est_raw.append(res.pose if res.pose is not None
+                               else res.pose_future)
+                used_truth.append(bag.truth[t])
+        mapper.flush()
+        mapper.loop_closure()
+        wall = time.perf_counter() - t_all0
+        est = [np.asarray(jax.device_get(p), np.float64) for p in est_raw]
+        used_truth = np.asarray(used_truth)
+        final = mapper.graph.poses[:len(used_truth)]
+        # ate_online: poses as estimated at acceptance time (never
+        # retroactively optimized) = the before-optimization trajectory;
+        # ate_rmse_m: the final graph after loop closures + LM optimization.
+        return {
+            "accepted": len(est),
+            "loop_closures": int(mapper.graph.constraint_switchable.sum()),
+            "loop_closures_rejected": mapper.stats.loop_closures_rejected,
+            "optimizations": mapper.stats.optimizations,
+            "ate_online_m": round(
+                metrics.ate_rmse(np.asarray(est), used_truth), 4),
+            "ate_online_aligned_m": round(
+                metrics.ate_rmse_aligned(np.asarray(est), used_truth), 4),
+            "ate_rmse_m": round(metrics.ate_rmse(final, used_truth), 4),
+            "ate_aligned_m": round(
+                metrics.ate_rmse_aligned(final, used_truth), 4),
+            "wall_s": round(wall, 2),
+            "scans_per_sec_wall": round(n / wall, 2),
+            # Steady-state per-scan wall time: the mean is dominated by the
+            # ONE first execution of the fused match kernel, which loads
+            # through this environment's remote relay (~minutes; an
+            # environment artifact, not an algorithmic cost).
+            "scan_ms_median": round(
+                float(np.median(np.asarray(times[3:]))) * 1e3, 2),
+        }, mapper
 
-    closures = int(mapper.graph.constraint_switchable.sum())
-    final = mapper.graph.poses[:len(used_truth)]
-    # ate_online: poses as estimated at acceptance time (never retroactively
-    # optimized) = the before-optimization trajectory; ate_rmse_m: the final
-    # graph after loop closures + LM optimization.
-    ate_online = metrics.ate_rmse(np.asarray(est), np.asarray(used_truth))
-    ate_online_al = metrics.ate_rmse_aligned(np.asarray(est),
-                                             np.asarray(used_truth))
-    ate = metrics.ate_rmse(final, np.asarray(used_truth))
-    ate_al = metrics.ate_rmse_aligned(final, np.asarray(used_truth))
-    odom_ate = metrics.ate_rmse(bag.odom, bag.truth)
+    # Both arms run the same bag so the pipelined-vs-sync ATE comparison is
+    # a first-class benchmark output (round-2 VERDICT: the pipelined
+    # config-3 regression went undisclosed).  Pipelined is the headline arm.
+    sync_row, _ = run_session(cfg)
+    pipe_row, mapper = run_session(dc.replace(cfg, max_inflight=8))
+    grid = mapper.render_map()
     timing = mapper.stats.timer.summary()
     lc = timing.get("loop_closure", {})
-    return {
+
+    row = {
         "config": 3 if loop_search == "radius" else 6,
         "name": ("full_slam_office" if loop_search == "radius"
                  else "full_slam_office_descriptor"),
         "loop_search": loop_search,
         "scans_in": n,
-        "accepted": len(est),
-        "loop_closures": closures,
-        "loop_closures_rejected": mapper.stats.loop_closures_rejected,
-        "optimizations": mapper.stats.optimizations,
-        "ate_online_m": round(ate_online, 4),
-        "ate_online_aligned_m": round(ate_online_al, 4),
-        "ate_rmse_m": round(ate, 4),
-        "ate_aligned_m": round(ate_al, 4),
-        "odom_only_ate_m": round(odom_ate, 4),
-        "wall_s": round(wall, 2),
-        "scans_per_sec_wall": round(n / wall, 2),
-        # Steady-state per-scan wall time: the mean is dominated by the ONE
-        # first execution of the fused match kernel, which loads through
-        # this environment's remote relay (~minutes; an environment
-        # artifact, not an algorithmic cost).
-        "scan_ms_median": round(
-            float(np.median(np.asarray(times[3:]))) * 1e3, 2),
+        "odom_only_ate_m": round(metrics.ate_rmse(bag.odom, bag.truth), 4),
         # timer section "loop_closure" wraps one scan's candidate search +
-        # batched confirmation (≤2 dispatches regardless of K candidates).
+        # batched confirmation (<=2 dispatches regardless of K candidates).
         "loop_closure_scan_ms_mean": round(lc.get("mean_ms", 0.0), 2),
         "occupied_cells": int((grid.data == 100).sum()),
         "timing": timing,
+        "sync": sync_row,
     }
+    row.update(pipe_row)  # headline numbers = pipelined arm
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -817,6 +823,17 @@ def main(argv=None) -> int:
 
     device = _device_name()
     print(f"device: {device}", file=sys.stderr)
+    # Traceability (round-2 VERDICT weak #5/#8): every row carries a run id
+    # (UTC timestamp + git rev) so BASELINE.md claims map to specific rows.
+    import subprocess
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    run_id = f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}@{rev}"
     results = []
     for c in configs:
         print(f"--- config {c} ---", file=sys.stderr, flush=True)
@@ -824,6 +841,7 @@ def main(argv=None) -> int:
         r = BENCHES[c](args.quick)
         r["device"] = device
         r["quick"] = args.quick
+        r["run_id"] = run_id
         r["bench_wall_s"] = round(time.perf_counter() - t0, 1)
         results.append(r)
         print(json.dumps(r), flush=True)

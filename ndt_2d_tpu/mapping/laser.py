@@ -2,7 +2,7 @@
 
 Vectorized equivalent of the projection loop in Mapper::laserCallback
 (src/ndt_mapper.cpp:366-453): polar ranges -> robot-frame Cartesian points,
-filtered for NaN/超-max-range, transformed by the robot->laser extrinsic,
+filtered for NaN/over-max-range, transformed by the robot->laser extrinsic,
 and per-beam de-skewed by the odometry motion across the scan sweep.
 
 Host-side numpy: per-scan work is tiny (<=few thousand beams) and the

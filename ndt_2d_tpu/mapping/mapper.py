@@ -817,7 +817,32 @@ class Mapper:
             self.optimization_last = g.num_scans
             self.map_update_available = True
             self._window_synced = -1  # optimized poses invalidate the window
+            self._reanchor_pose()
         return added
+
+    def _reanchor_pose(self) -> None:
+        """Re-anchor the dead-reckoning chain on the latest graph pose.
+
+        After an optimization (or a loop closure that moved the newest scan)
+        the graph's estimate of the last keyframe pose is better than the
+        pre-correction ``prev_robot_pose``; the next scan's start pose
+        dead-reckons from it and matches against a window REBUILT from the
+        corrected graph poses, so leaving the chain stale strands the start
+        pose outside the +-search_linear_size match window and every
+        subsequent odometry constraint inherits the offset (measured on the
+        config-3 office benchmark: final ATE *worse* than online).  The
+        reference has exactly this defect — loopClosureThread corrects scan
+        poses and optimizes but never touches prev_robot_pose_
+        (src/ndt_mapper.cpp:569-685 vs :541-545) — which we fix rather than
+        reproduce.  The device pose chain restarts from the new anchor on
+        the next pipelined dispatch.
+        """
+        g = self.graph
+        if self.enable_mapping and not self.use_particle_filter \
+                and g.num_scans:
+            self.prev_robot_pose = g.poses[g.num_scans - 1].copy()
+            self._pose_dev = None
+            self._approx_pose = self.prev_robot_pose.copy()
 
     # --- loop-closure internals ------------------------------------------
     def _loop_candidates(self, idx: int, desc_table, desc_valid) -> list:
@@ -895,6 +920,10 @@ class Mapper:
             # The corrected pose may sit inside the device rolling window;
             # force a rebuild from the graph.
             self._window_synced = -1
+            if idx == g.num_scans - 1:
+                # The closure moved the newest keyframe: the dead-reckoning
+                # chain must follow it (see _reanchor_pose).
+                self._reanchor_pose()
             return True
         self.stats.loop_closures_rejected += 1
         logger.info("***Rejecting loop closure from %d to %d (score %f)",
@@ -1098,6 +1127,7 @@ class Mapper:
             self.optimization_last = self.graph.num_scans
             self.map_update_available = True
             self._window_synced = -1
+            self._reanchor_pose()
         return ok
 
     # ------------------------------------------------------------------

@@ -229,8 +229,55 @@ class TestLoopClosure:
                                used_truth)
         assert ate < 0.25
 
+    def test_optimization_reanchors_dead_reckoning(self):
+        """Regression (round 3): after a mid-session optimization (or a
+        loop closure that moves the newest keyframe) the dead-reckoning
+        chain must re-anchor on the corrected graph pose.  Leaving it stale
+        strands the next start pose outside the +-search_linear_size match
+        window of the (rebuilt-from-optimized-poses) rolling window, and
+        every later odometry constraint inherits the offset — measured on
+        the config-3 office benchmark as final ATE *worse* than online.
+        The reference has this defect (loopClosureThread never touches
+        prev_robot_pose_, src/ndt_mapper.cpp:569-685); we fix it."""
+        world, truth, odom = _office_loop_inputs(trans_noise=0.02,
+                                                 rot_noise=0.004)
+        global_mcfg = ScanMatcherConfig(
+            ndt_resolution=0.35, search_linear_size=0.15,
+            search_linear_resolution=0.01, search_angular_size=0.05,
+            grid_cells_x=160, grid_cells_y=160)
+        cfg = dataclasses.replace(
+            CFG, global_scan_matcher=global_mcfg, global_search_size=4.0,
+            optimization_node_limit=10, loop_closure_every=15)
+        mapper = Mapper(cfg)
+        est, used_truth = [], []
+        for t in range(len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=600,
+                                   range_max=12.0, noise=0.01,
+                                   rng=np.random.default_rng(t))
+            res = mapper.process_scan(msg, odom[t])
+            if res.accepted:
+                est.append(res.pose)
+                used_truth.append(truth[t])
+                # Invariant: the dead-reckoning anchor always equals the
+                # newest graph pose, even right after a loop-closure pass
+                # inside process_scan moved/optimized it.
+                np.testing.assert_allclose(
+                    mapper.prev_robot_pose,
+                    mapper.graph.poses[mapper.graph.num_scans - 1])
+        mapper.loop_closure()
+        assert mapper.stats.optimizations >= 1, \
+            "scenario must exercise a mid-session optimization"
+        online = metrics.ate_rmse(np.asarray(est), np.asarray(used_truth))
+        final = metrics.ate_rmse(mapper.graph.poses[:len(used_truth)],
+                                 np.asarray(used_truth))
+        # Optimization must not degrade the trajectory it was given
+        # (the reference's solver keeps old poses on failure for the same
+        # reason, ceres_solver.cpp:98-101).
+        assert final <= online * 1.10 + 1e-6, (
+            f"optimization degraded ATE: online {online} -> final {final}")
 
-def _office_loop_inputs():
+
+def _office_loop_inputs(trans_noise=0.006, rot_noise=0.002):
     """The revisiting office-ring scenario from TestLoopClosure, shared by
     the batched-vs-sequential equivalence tests."""
     world = sim.make_office_world(16.0)
@@ -249,8 +296,8 @@ def _office_loop_inputs():
             traj.append([a[0] + f * (b[0] - a[0]),
                          a[1] + f * (b[1] - a[1]), heading])
     truth = np.asarray(traj)
-    odom = sim.drift_odometry(truth, trans_noise=0.006, rot_noise=0.002,
-                              seed=11)
+    odom = sim.drift_odometry(truth, trans_noise=trans_noise,
+                              rot_noise=rot_noise, seed=11)
     return world, truth, odom
 
 
