@@ -343,8 +343,23 @@ def reduce_candidates(cand, dths, dls):
 
 
 def finalize_match(best, correction, k, u, s, used) -> MatchResult:
-    """Olson covariance (cov = K/s + u u^T / s^2) + per-beam normalization."""
-    covariance = k / s + (u[:, None] * u[None, :]) / (s * s)
+    """Olson covariance (cov = K/s + u u^T / s^2) + per-beam normalization.
+
+    A search where NO candidate scored any point (s == 0: the window NDT has
+    no >=5-point cells under the scan, e.g. sparse beams or a degenerate
+    window) would divide by zero here.  The reference computes the same
+    expressions and returns inf/NaN covariance in that case
+    (scan_matcher_ndt.cpp:136-146), which poisons the constraint information
+    matrix and later the whole solve; we return a weak isotropic covariance
+    instead (1 m^2, 0.25 rad^2 — ~4 orders of magnitude weaker than a real
+    match's Olson scale), so the odometry edge still connects the chain but
+    carries ~zero weight.
+    """
+    ok = s < 0.0  # candidate scores are <= 0; s == 0 means nothing scored
+    safe = jnp.where(ok, s, -1.0)
+    covariance = k / safe + (u[:, None] * u[None, :]) / (safe * safe)
+    fallback = jnp.diag(jnp.asarray([1.0, 1.0, 0.25], best.dtype))
+    covariance = jnp.where(ok, covariance, fallback)
     used_f = jnp.maximum(used, 1).astype(best.dtype)
     return MatchResult(score=best / used_f, correction=correction,
                        covariance=covariance)
