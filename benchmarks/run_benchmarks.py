@@ -785,6 +785,28 @@ def bench_config9(quick: bool) -> dict:
     }
 
 
+def bench_config10(quick: bool) -> dict:
+    """End-to-end multichip SLAM through the real runtime (Mapper(mesh=...))
+    on the 8-virtual-device CPU mesh; see benchmarks/mesh_slam_bench.py.
+
+    Subprocess: the CPU platform must be forced before jax initializes,
+    which is impossible once this process touched the TPU.
+    """
+    import subprocess
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "mesh_slam_bench.py")]
+    if quick:
+        cmd.append("--quick")
+    env = dict(os.environ)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"mesh_slam_bench failed:\n{out.stderr[-2000:]}")
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            4: bench_config4, 5: bench_config5,
            # extra (beyond the 5 driver configs): descriptor-mode full SLAM
@@ -794,7 +816,9 @@ BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            # extra: high-accuracy mapping (overlapping grids + Newton polish)
            8: lambda quick: bench_config2(quick, high_accuracy=True),
            # extra: CARMEN-format dataset end-to-end (committed simlab log)
-           9: bench_config9}
+           9: bench_config9,
+           # extra: multichip SLAM through the real runtime (virtual mesh)
+           10: bench_config10}
 
 
 def main(argv=None) -> int:

@@ -146,10 +146,14 @@ def _run_session(args, localize: bool) -> int:
                                          cfg.use_barycenter)
     if localize:
         cfg = dataclasses.replace(cfg, enable_mapping=False)
+    mesh = None
+    if getattr(args, "mesh", None):
+        from ndt_2d_tpu.parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(args.mesh)
     if getattr(args, "resume", None):
-        mapper = serialization.load_session(args.resume, cfg)
+        mapper = serialization.load_session(args.resume, cfg, mesh=mesh)
     else:
-        mapper = Mapper(cfg, graph=graph)
+        mapper = Mapper(cfg, graph=graph, mesh=mesh)
 
     control = None
     if args.socket:
@@ -268,7 +272,9 @@ def cmd_serve(args) -> int:
 
 def cmd_feed(args) -> int:
     from ndt_2d_tpu.mapping.server import stream_bag
-    last = stream_bag(args.bag, args.socket, realtime_hz=args.hz)
+    last = stream_bag(args.bag, args.socket, realtime_hz=args.hz,
+                      windowed=args.windowed)
+    last["results"] = len(last.get("results", {}))  # keep the print short
     print(json.dumps(last))
     return 0 if last.get("ok") else 1
 
@@ -276,13 +282,19 @@ def cmd_feed(args) -> int:
 def cmd_import_carmen(args) -> int:
     from ndt_2d_tpu.io import bag as bag_mod
     from ndt_2d_tpu.io import carmen
+    report = carmen.CarmenReport()
     bag = carmen.load_carmen(args.log, fov_degrees=args.fov_degrees,
                              range_max=args.range_max,
-                             use_laser_pose=not args.robot_odom)
+                             use_laser_pose=not args.robot_odom,
+                             time_increment=args.time_increment,
+                             report=report)
     bag_mod.save_bag(bag, args.out)
     print(json.dumps({"out": args.out, "scans": len(bag),
                       "beams": int(bag.ranges.shape[1]),
-                      "range_max": bag.range_max}))
+                      "range_max": bag.range_max,
+                      "config": list(report.kept_config),
+                      "skipped_lines": report.skipped,
+                      "has_timestamps": bag.times is not None}))
     return 0
 
 
@@ -462,6 +474,12 @@ def main(argv=None) -> int:
                             "device with up to N steps in flight (0 = "
                             "synchronous per-scan round trips, the default; "
                             "8 is a good pipelined value)")
+        p.add_argument("--mesh", type=int, default=None, metavar="N",
+                       help="run the full pipeline sharded over an N-device "
+                            "jax mesh: match angles over 'space', "
+                            "loop-closure candidate windows + pose-graph "
+                            "constraints over 'batch', occupancy rays over "
+                            "the whole mesh (parallel.runtime)")
         _add_matcher_args(p, "local_scan_matcher")
         _add_matcher_args(p, "global_scan_matcher")
         _add_pf_args(p)
@@ -493,6 +511,11 @@ def main(argv=None) -> int:
     p.add_argument("--robot-odom", action="store_true",
                    help="use the robot odometry columns instead of the "
                         "laser pose")
+    p.add_argument("--time-increment", type=float, default=0.0,
+                   help="per-beam time (s) for motion de-skew; CARMEN logs "
+                        "record no per-beam time, so this is a sensor "
+                        "constant (75 Hz SICK LMS-200 / 180 beams: 7.4e-5). "
+                        "0 disables de-skew")
     p.set_defaults(fn=cmd_import_carmen)
 
     p = sub.add_parser("import-rosbag2",
@@ -554,6 +577,11 @@ def main(argv=None) -> int:
     p.add_argument("--socket", required=True)
     p.add_argument("--hz", type=float, default=0.0,
                    help="pace the stream (0 = as fast as possible)")
+    p.add_argument("--windowed", action="store_true",
+                   help="windowed protocol: immediate per-scan acks, poses "
+                        "stream back asynchronously (pairs with a server "
+                        "run with --max-inflight; ~10x wall throughput "
+                        "through a high-RTT link)")
     p.set_defaults(fn=cmd_feed)
 
     p = sub.add_parser("viz", help="render a saved map to PNG")

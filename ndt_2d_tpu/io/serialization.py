@@ -128,12 +128,12 @@ def save_session(mapper, filename: str) -> None:
     )
 
 
-def load_session(filename: str, config, seed: int = 0):
+def load_session(filename: str, config, seed: int = 0, mesh=None):
     """Restore a mapper from a save_session checkpoint."""
     from ndt_2d_tpu.mapping.mapper import Mapper
     graph = load_graph(filename, config.max_points_per_scan,
                        config.use_barycenter)
-    mapper = Mapper(config, graph=graph, seed=seed)
+    mapper = Mapper(config, graph=graph, seed=seed, mesh=mesh)
     with np.load(filename) as data:
         if "session" not in data.files or not bool(data["session"]):
             raise ValueError(f"{filename} is a map file, not a session "

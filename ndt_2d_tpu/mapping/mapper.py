@@ -66,6 +66,8 @@ class ScanResult:
     # device->host copy is already in flight).  Resolve with
     # jax.device_get AFTER Mapper.flush(); or read graph poses instead.
     pose_future: Optional[object] = None
+    # Device array of the match score for deferred scans (None for PF).
+    score_future: Optional[object] = None
 
 
 class Mapper:
@@ -73,7 +75,7 @@ class Mapper:
                  graph: Optional[pose_graph.Graph] = None,
                  laser_transform=np.zeros(3),
                  laser_inverted: Optional[bool] = None,
-                 laser_rotation=None, seed: int = 0):
+                 laser_rotation=None, seed: int = 0, mesh=None):
         """Args (laser extrinsic, mirroring the reference's first-scan TF
         lookup, ndt_mapper.cpp:271-290):
           laser_transform: (x, y, theta) robot->laser 2D extrinsic.
@@ -85,8 +87,20 @@ class Mapper:
           laser_inverted: explicit override of the mirrored-laser branch;
             None (default) = auto-detect from laser_rotation (False if no
             rotation given).
+          mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — runs
+            the FULL pipeline sharded: the rolling match's candidate angles
+            over the 'space' axis, loop-closure candidate windows over
+            'batch' (each window's match angle-sharded over 'space'),
+            pose-graph constraints over 'batch', occupancy rays over the
+            whole mesh.  Host-side orchestration (gates, constraints,
+            cadences) is identical to the single-device runtime, so the
+            decisions — and on exact-reduction paths, the bits — match it.
+            Mesh mode runs the device steps synchronously (max_inflight is
+            ignored): the sharded dispatches are the throughput story, not
+            host<->device overlap.
         """
         self.config = config
+        self.mesh = mesh
         self.enable_mapping = config.enable_mapping
         self.use_particle_filter = config.use_particle_filter
         self.range_max = config.max_range
@@ -128,6 +142,12 @@ class Mapper:
 
         self._scans_since_loop_closure = 0
         self.stats = SessionStats()
+        # Loop-closure observability (fed by _loop_candidates/_apply_gate):
+        # "candidates" rows are (query_idx, tuple(candidate ids)); "decisions"
+        # rows are (query_idx, candidate_id, score, gate, accepted).  Powers
+        # the precision/recall benchmark (benchmarks/loop_closure_pr.py); the
+        # reference's only signal here is a log line (ndt_mapper.cpp:648,666).
+        self.lc_log = {"candidates": [], "decisions": []}
         # Device-resident rolling window (matcher.RollingWindow); rebuilt
         # from the graph whenever poses change outside the append path
         # (optimization, map load, initial pose).  _window_synced tracks how
@@ -144,6 +164,8 @@ class Mapper:
         self._pending = []
         self._pose_dev = None
         self._approx_pose = None
+        # Mesh mode: per-pass all-to-all descriptor top-k cache.
+        self._desc_topk = None
 
     # ------------------------------------------------------------------
     def _ensure_matchers(self, msg_range_max: float) -> None:
@@ -253,7 +275,7 @@ class Mapper:
         g = self.graph
         grid = occupancy.render_occupancy(
             g.poses, g.points, g.point_mask, self.config.resolution,
-            self.config.occupancy_threshold)
+            self.config.occupancy_threshold, mesh=self.mesh)
         free = np.argwhere(grid.data == 0)                 # [N, (iy, ix)]
         if not len(free):
             return None
@@ -411,6 +433,7 @@ class Mapper:
         from ndt_2d_tpu.matching import matcher as matcher_mod
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
         if (self.config.max_inflight > 0 and self.graph.num_scans
+                and self.mesh is None
                 and isinstance(self.local_matcher, NDTScanMatcher)):
             # NOTE: robot_pose was dead-reckoned from the host pose mirror,
             # which is stale while results are in flight; the pipelined path
@@ -444,7 +467,16 @@ class Mapper:
             if self._range_max_dev is None:
                 self._range_max_dev = jnp.float32(self.range_max)
             with self.stats.timer.section("local_match"):
-                if fused:
+                if fused and self.mesh is not None:
+                    # Mesh mode: the candidate search's angle axis shards
+                    # over the mesh 'space' axis (parallel.runtime).
+                    from ndt_2d_tpu.parallel import runtime
+                    out = runtime.match_scan_rolling_multichip(
+                        self.local_matcher.config, self.mesh, window,
+                        self._range_max_dev, dev_points, dev_mask,
+                        jnp.int32(num_points),
+                        jnp.asarray(pose, jnp.float32))
+                elif fused:
                     # Instance config, not config.local_scan_matcher: the
                     # registry factory may have adjusted it (e.g. ndt_newton
                     # enables refine_iterations).
@@ -593,7 +625,7 @@ class Mapper:
         if self._scans_since_loop_closure >= self.config.loop_closure_every:
             self.loop_closure()
         return ScanResult(accepted=True, scan_id=scan_id, pose=None,
-                          pose_future=out[4])
+                          pose_future=out[4], score_future=out[1])
 
     def _odom_delta(self, odom_pose) -> np.ndarray:
         """Odometry motion since the previous scan, in the previous ROBOT
@@ -669,6 +701,26 @@ class Mapper:
         from ndt_2d_tpu.matching import matcher as matcher_mod
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
         m = self.global_matcher
+        if (self.mesh is not None and isinstance(m, NDTScanMatcher)
+                and m.grid is not None):
+            from ndt_2d_tpu.parallel import runtime
+            self._drain_all()
+            with self.stats.timer.section("global_match"):
+                out = runtime.match_scan_global_multichip(
+                    m.config, self.mesh, m.grid,
+                    jnp.asarray(points, jnp.float32), jnp.asarray(mask),
+                    jnp.int32(num_points),
+                    jnp.asarray(robot_pose, jnp.float32))
+                unc, score, corr, _ = jax.device_get(out)
+            correction = np.asarray(corr, np.float64)
+            pose = robot_pose + correction
+            self.prev_odom_pose = odom_pose.copy()
+            self.prev_robot_pose = pose.copy()
+            self.stats.record_scan(True, float(score))
+            return ScanResult(accepted=True, pose=pose,
+                              uncorrected_score=float(unc),
+                              matched_score=float(score),
+                              correction=correction)
         if (self.config.max_inflight > 0 and isinstance(m, NDTScanMatcher)
                 and m.grid is not None):
             odom_pose = np.asarray(odom_pose, np.float64)
@@ -689,7 +741,8 @@ class Mapper:
             self.prev_odom_pose = odom_pose.copy()
             if len(self._pending) > self.config.max_inflight:
                 self._drain(1)
-            return ScanResult(accepted=True, pose=None, pose_future=out[3])
+            return ScanResult(accepted=True, pose=None, pose_future=out[3],
+                              score_future=out[1])
         self._drain_all()
         with self.stats.timer.section("global_match"):
             if isinstance(m, NDTScanMatcher) and m.grid is not None:
@@ -783,6 +836,7 @@ class Mapper:
 
         added = 0
         desc_table = desc_valid = None
+        self._desc_topk = None
         if self.config.loop_search == "descriptor" and num_scans:
             # Appearance-based candidates: batched rotation-invariant
             # descriptors + cosine top-k (ndt_2d_tpu.parallel.loop_search).
@@ -793,6 +847,19 @@ class Mapper:
                 g.points_padded, g.point_mask_padded,
                 np.float32(self.range_max), self.config.descriptor_bins)
             desc_valid = np.arange(g.points_padded.shape[0]) < num_scans
+            if self.mesh is not None:
+                # Mesh mode: ONE sharded all-to-all search serves every
+                # query of this pass (descriptors depend only on scan
+                # points, which acceptances never change, so precomputing
+                # is decision-identical to the per-query search).
+                from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
+                dp, vp = loop_search.pad_descriptors(
+                    np.asarray(desc_table), desc_valid,
+                    self.mesh.shape[BATCH_AXIS])
+                idx_t, score_t = loop_search.search_all_pairs_multichip(
+                    self.mesh, dp, vp, k=self.config.global_search_limit,
+                    rolling_exclude=self.config.rolling_depth + 1)
+                self._desc_topk = (np.asarray(idx_t), np.asarray(score_t))
         if self._fused_confirmation_available() and \
                 self.config.pipeline_loop_closure:
             added = self._loop_closure_pass_pipelined(num_scans, desc_table,
@@ -812,7 +879,7 @@ class Mapper:
                       > self.config.optimization_node_limit):
             logger.info("Optimizing pose graph")
             with self.stats.timer.section("optimize"):
-                solver.solve_graph(g, self.config.solver)
+                self._solve_graph()
             self.stats.optimizations += 1
             self.optimization_last = g.num_scans
             self.map_update_available = True
@@ -858,10 +925,14 @@ class Mapper:
             # Exclude i >= idx - depth: findNearest's limit_scan_index
             # semantics (graph.cpp:181, candidates strictly below the
             # rolling window).
-            cand_idx, cand_sim = loop_search.search_dense(
-                desc_table, desc_valid, idx,
-                k=self.config.global_search_limit,
-                rolling_exclude=self.config.rolling_depth + 1)
+            if getattr(self, "_desc_topk", None) is not None:
+                cand_idx = self._desc_topk[0][idx]
+                cand_sim = self._desc_topk[1][idx]
+            else:
+                cand_idx, cand_sim = loop_search.search_dense(
+                    desc_table, desc_valid, idx,
+                    k=self.config.global_search_limit,
+                    rolling_exclude=self.config.rolling_depth + 1)
             cand_idx = np.asarray(cand_idx)
             cand_sim = np.asarray(cand_sim)
             keep = (np.isfinite(cand_sim)
@@ -873,7 +944,9 @@ class Mapper:
             candidates = g.find_nearest(
                 query, self.config.global_search_size, rolling)
         out = [int(i) for i in candidates if g.point_mask[int(i)].any()]
-        return out[:self.config.global_search_limit]
+        out = out[:self.config.global_search_limit]
+        self.lc_log["candidates"].append((idx, tuple(out)))
+        return out
 
     def _candidate_window(self, i: int, rolling: int):
         """The candidate's 2-slot scan region (ndt_mapper.cpp:627-631).
@@ -905,7 +978,10 @@ class Mapper:
         g = self.graph
         gate = (self.typical_matcher_response
                 * self.config.loop_closure_gate_scale)
-        if np.isfinite(score) and score < gate:
+        accepted = bool(np.isfinite(score) and score < gate)
+        self.lc_log["decisions"].append((idx, i, float(score), float(gate),
+                                         accepted))
+        if accepted:
             self.stats.loop_closures_accepted += 1
             logger.info("***Adding loop closure from %d to %d (score %f)",
                         i, idx, score)
@@ -1045,6 +1121,11 @@ class Mapper:
         K = len(candidates)
         # Power-of-two bucket (min 4) keeps the jit signature set tiny.
         pad = max(4, 1 << (K - 1).bit_length())
+        if self.mesh is not None:
+            # Candidate windows shard over the mesh 'batch' axis.
+            from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
+            nb = self.mesh.shape[BATCH_AXIS]
+            pad = -(-pad // nb) * nb
         poses = np.zeros((pad, 2, 3), np.float32)
         pts = np.zeros((pad, 2, g.max_points, 2), np.float32)
         pmask = np.zeros((pad, 2, g.max_points), bool)
@@ -1067,7 +1148,16 @@ class Mapper:
         args = (jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
                 jnp.asarray(wmask), jnp.float32(self.range_max), qpts, qmask,
                 jnp.int32(n), jnp.asarray(starts, jnp.float32))
-        if descriptor:
+        if self.mesh is not None:
+            from ndt_2d_tpu.parallel import runtime
+            if descriptor:
+                out = runtime.confirm_batch_coarse_fine_multichip(
+                    self.coarse_matcher.config, self.global_matcher.config,
+                    self.mesh, *args)
+            else:
+                out = runtime.confirm_batch_multichip(
+                    self.global_matcher.config, self.mesh, *args)
+        elif descriptor:
             out = matcher_mod.match_scan_batch_coarse_fine(
                 self.coarse_matcher.config, self.global_matcher.config, *args)
         else:
@@ -1119,10 +1209,20 @@ class Mapper:
                     wp[:, :2], cfg, "loop-closure candidate window",
                     "scan matcher grid_cells_*")
 
+    def _solve_graph(self) -> bool:
+        """Optimize the graph in place — constraint-sharded over the mesh
+        when one is configured, single-device LM otherwise."""
+        if self.mesh is not None:
+            from ndt_2d_tpu.parallel import runtime
+            return runtime.solve_graph_multichip(self.graph,
+                                                 self.config.solver,
+                                                 self.mesh)
+        return solver.solve_graph(self.graph, self.config.solver)
+
     def optimize(self) -> bool:
         """Force a pose-graph optimization."""
         self._drain_all()
-        ok = solver.solve_graph(self.graph, self.config.solver)
+        ok = self._solve_graph()
         if ok:
             self.optimization_last = self.graph.num_scans
             self.map_update_available = True
@@ -1138,7 +1238,7 @@ class Mapper:
         g = self.graph
         return occupancy.render_occupancy(
             g.poses, g.points, g.point_mask, self.config.resolution,
-            self.config.occupancy_threshold)
+            self.config.occupancy_threshold, mesh=self.mesh)
 
     def graph_snapshot(self) -> dict:
         """Graph visualization data (Graph::getMsg, src/graph.cpp:191-256)."""
@@ -1150,10 +1250,16 @@ class Mapper:
             "switchable": g.constraint_switchable.copy(),
         }
 
-    def map_to_odom(self) -> np.ndarray:
+    def map_to_odom(self, drain: bool = True) -> np.ndarray:
         """map->odom transform = (map->robot) * (odom->robot)^-1
-        (ndt_mapper.cpp:722-739)."""
-        self._drain_all()
+        (ndt_mapper.cpp:722-739).
+
+        ``drain=False`` reads the current host estimate without blocking on
+        in-flight pipelined steps — the estimate then lags by at most
+        ``max_inflight`` scans, exactly like the reference's 4 Hz broadcast
+        lags its ingest thread (ndt_mapper.cpp:716-742)."""
+        if drain:
+            self._drain_all()
         mr = self.prev_robot_pose
         orp = self.prev_odom_pose
         th = _normalize_angle(mr[2] - orp[2])

@@ -93,13 +93,16 @@ def _raymarch_counts(starts, ends, beam_mask, origin, resolution,
 def render_occupancy(poses: np.ndarray, points: np.ndarray, mask: np.ndarray,
                      resolution: float, occ_thresh: float,
                      pad_cells: int = 5,
-                     size_bucket: int = 64) -> OccupancyGridResult:
+                     size_bucket: int = 64, mesh=None) -> OccupancyGridResult:
     """Render scans into an occupancy grid (OccupancyGrid::getMsg equivalent).
 
     Args:
       poses: [S, 3] scan poses; points: [S, P, 2] robot-frame; mask: [S, P].
       size_bucket: grid dims round up to multiples of this so XLA recompiles
         only at bucket boundaries as the map grows.
+      mesh: optional jax.sharding.Mesh — shards the (scan, beam) ray batch
+        over every mesh axis; integer counts psum exactly, so the sharded
+        render is bit-identical to the single-device one.
     """
     poses = np.asarray(poses, np.float64)
     c, s = np.cos(poses[:, 2])[:, None], np.sin(poses[:, 2])[:, None]
@@ -129,10 +132,26 @@ def render_occupancy(poses: np.ndarray, points: np.ndarray, mask: np.ndarray,
     num_samples = max(int(np.ceil(max_len / (0.5 * resolution))) + 2, 4)
     num_samples = int(np.ceil(num_samples / 64) * 64)  # bucket: fewer recompiles
 
-    hit, empty = _raymarch_counts(
-        jnp.asarray(starts, jnp.float32), jnp.asarray(ends, jnp.float32),
-        jnp.asarray(bmask), jnp.asarray(origin, jnp.float32),
-        jnp.float32(resolution), width, height, num_samples)
+    if mesh is not None:
+        from ndt_2d_tpu.parallel import runtime
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        r = starts.shape[0]
+        r_pad = -(-r // n_dev) * n_dev
+        if r_pad != r:
+            z = np.zeros((r_pad - r, 2), starts.dtype)
+            starts = np.concatenate([starts, z])
+            ends = np.concatenate([ends, z])
+            bmask = np.concatenate([bmask, np.zeros(r_pad - r, bool)])
+        hit, empty = runtime.raymarch_counts_multichip(
+            mesh, jnp.asarray(starts, jnp.float32),
+            jnp.asarray(ends, jnp.float32), jnp.asarray(bmask),
+            jnp.asarray(origin, jnp.float32), jnp.float32(resolution),
+            width, height, num_samples)
+    else:
+        hit, empty = _raymarch_counts(
+            jnp.asarray(starts, jnp.float32), jnp.asarray(ends, jnp.float32),
+            jnp.asarray(bmask), jnp.asarray(origin, jnp.float32),
+            jnp.float32(resolution), width, height, num_samples)
     hit = np.asarray(hit, np.float64)
     empty = np.asarray(empty, np.float64)
 

@@ -20,6 +20,7 @@ from ndt_2d_tpu.matching import matcher
 from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "axis"))
 def measure_multichip(config: ScanMatcherConfig, mesh, grid, points,
                       point_mask, num_points, particles,
                       axis: str = BATCH_AXIS):

@@ -117,6 +117,8 @@ def search_dense(desc, valid, query_idx, k: int = 8,
     return idx, scores
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "k", "rolling_exclude", "axis"))
 def search_all_pairs_multichip(mesh, desc, valid, k: int = 8,
                                rolling_exclude: int = 10,
                                axis: str = BATCH_AXIS):

@@ -44,6 +44,7 @@ def _padded_angles(config: ScanMatcherConfig, n_shards: int, dtype):
     return jnp.asarray(dths), jnp.asarray(valid), a_pad
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "axis"))
 def match_scan_multichip(config: ScanMatcherConfig, mesh,
                          grid: ndt_grid.NDTGrid, points, point_mask,
                          num_points, pose,
@@ -53,6 +54,10 @@ def match_scan_multichip(config: ScanMatcherConfig, mesh,
     The grid/scan inputs are replicated; only the candidate lattice is
     partitioned, so the only collectives are three scalar-ish psums and one
     small all-gather on the reduction — pure ICI traffic.
+
+    jit with (config, mesh) static: without it the shard_map closure is
+    rebuilt — re-traced and re-lowered — on EVERY call (measured ~10 s/scan
+    on the virtual-CPU mesh vs ~0.15 s once compiled).
     """
     n_shards = mesh.shape[axis]
     dtype = points.dtype

@@ -1,16 +1,24 @@
-"""The full multichip SLAM step, jitted over a device mesh.
+"""A fully device-resident multichip SLAM step, jitted over a device mesh.
 
 This is the framework's "training step" analog: one accepted scan drives
 
   1. window-NDT build (scatter over the rolling window's points),
   2. the sharded 3-DoF candidate search (angle axis over ``space``),
-  3. functional scan + odometry-constraint append into padded device buffers,
+  3. functional scan + odometry-constraint append into padded device buffers
+     (through the SHARED makeConstraint math, core.constraint),
   4. a constraint-sharded LM pose-graph refinement (over ``batch``).
 
 Everything is static-shape: the scan batch, constraint buffers, and window
 are fixed-capacity with masks, so the step compiles once and runs for the
-whole session.  The driver's ``dryrun_multichip`` compiles and executes this
-on an N-virtual-device mesh.
+whole session.
+
+Scope note: the PRODUCT path for multichip SLAM is ``Mapper(mesh=...)``
+(mapping/mapper.py + parallel/runtime.py), which runs the complete pipeline
+— loop-closure search, vmapped confirmation, acceptance gate, sharded solve,
+occupancy export — with the same host orchestration as single-device mode.
+This module remains the zero-host-roundtrip core-step demonstration (match +
+append + periodic solve in ONE jitted dispatch), the shape a fully
+device-resident ingest loop would take.
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ndt_2d_tpu.config import MapperConfig
+from ndt_2d_tpu.core import constraint as constraint_ops
 from ndt_2d_tpu.graph import solver as base_solver
 from ndt_2d_tpu.matching import matcher
 from ndt_2d_tpu.parallel import matcher as pmatcher
@@ -93,21 +102,18 @@ def make_slam_step(mesh, config: MapperConfig, range_max: float,
         has_prior = state.num_scans > 0
         corrected = jnp.where(has_prior, est_pose + res.correction, est_pose)
 
-        # 3. Append scan + odometry constraint (makeConstraint math,
-        #    src/constraint.cpp:35-56).
+        # 3. Append scan + odometry constraint through the SHARED
+        #    makeConstraint math (core.constraint.make_constraint, the jax
+        #    twin of graph.pose_graph.make_constraint_np) so this step
+        #    cannot drift from the real mapper's constraint semantics.
         i = state.num_scans
         poses = state.poses.at[i].set(corrected)
         points = state.points.at[i].set(scan_points)
         pmask = state.point_mask.at[i].set(scan_mask)
 
-        prev = state.prev_pose
-        d = corrected[:2] - prev[:2]
-        c, s = jnp.cos(prev[2]), jnp.sin(prev[2])
-        transform = jnp.stack([c * d[0] + s * d[1],
-                               -s * d[0] + c * d[1],
-                               corrected[2] - prev[2]])
-        information = jnp.linalg.inv(
-            res.covariance + 1e-9 * jnp.eye(3, dtype=jnp.float32))
+        _, _, transform, information, _ = constraint_ops.make_constraint(
+            jnp.maximum(i - 1, 0), i, state.prev_pose, corrected,
+            res.covariance)
         j = state.c_num
         cb = state.c_begin.at[j].set(jnp.maximum(i - 1, 0))
         ce = state.c_end.at[j].set(i)

@@ -48,6 +48,7 @@ def pad_constraints(begin, end, transform, information, cmask, n_shards: int):
             jnp.asarray(pi), jnp.asarray(pm))
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "axis"))
 def solve_multichip(config: SolverConfig, mesh, poses, begin, end, transform,
                     information, constraint_mask, node_mask, fixed_index=0,
                     axis: str = BATCH_AXIS,
