@@ -27,6 +27,11 @@ class ScanBag:
     range_max: float
     odom: np.ndarray              # [T, 3] odometry-frame poses
     truth: Optional[np.ndarray] = None   # [T, 3] ground truth (sim only)
+    # [T] per-scan capture timestamps (seconds; e.g. from a CARMEN log).
+    # When present, run_bag interpolates the sweep-end odometry pose at
+    # time[t] + time_increment * (N - 1) instead of assuming the sweep spans
+    # the whole inter-scan interval, so de-skew works on imported data.
+    times: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return self.ranges.shape[0]
@@ -60,6 +65,8 @@ def save_bag(bag: ScanBag, path: str) -> None:
     )
     if bag.truth is not None:
         data["truth"] = bag.truth.astype(np.float64)
+    if bag.times is not None:
+        data["times"] = np.asarray(bag.times, np.float64)
     np.savez_compressed(path, **data)
 
 
@@ -76,6 +83,7 @@ def load_bag(path: str) -> ScanBag:
             range_max=float(d["range_max"]),
             odom=d["odom"],
             truth=d["truth"] if "truth" in d.files else None,
+            times=d["times"] if "times" in d.files else None,
         )
 
 

@@ -81,6 +81,30 @@ def send_configure(path: str, action: int, filename: str = "") -> dict:
         return json.loads(s.makefile().readline())
 
 
+def sweep_end_odom(bag: ScanBag, t: int, msg) -> Optional[np.ndarray]:
+    """Odometry pose at the END of scan t's sweep, for motion de-skew.
+
+    De-skew only applies when the sweep has real duration
+    (time_increment > 0, cf. ndt_mapper.cpp:368-370); bags record odom at
+    scan starts, so the sweep-end pose interpolates toward the next sample.
+    With per-scan timestamps (imported logs, ScanBag.times) the sweep is
+    placed at its true fraction of the inter-scan interval; without them the
+    whole interval is assumed (sim bags record odom exactly at scan
+    boundaries, making the two identical).  Returns None when de-skew does
+    not apply.
+    """
+    sweep = msg.time_increment * (len(msg.ranges) - 1)
+    if sweep <= 0 or t + 1 >= len(bag):
+        return None
+    nxt, cur = bag.odom[t + 1], bag.odom[t]
+    d = nxt - cur
+    d = np.asarray([d[0], d[1], np.arctan2(np.sin(d[2]), np.cos(d[2]))])
+    frac = 1.0
+    if bag.times is not None and bag.times[t + 1] > bag.times[t]:
+        frac = min(sweep / float(bag.times[t + 1] - bag.times[t]), 1.0)
+    return cur + d * frac
+
+
 def run_bag(mapper: Mapper, bag: ScanBag,
             progress: Optional[Callable[[int, object], None]] = None,
             control: Optional[ControlServer] = None) -> dict:
@@ -91,12 +115,7 @@ def run_bag(mapper: Mapper, bag: ScanBag,
     est, used_truth, accepted, deferred, est_t = [], [], 0, [], []
     lock = control._lock if control else threading.Lock()
     for t, (msg, odom_pose) in enumerate(bag):
-        # De-skew only applies when the sweep has real duration
-        # (time_increment > 0, cf. ndt_mapper.cpp:368-370); bags record odom
-        # at scan starts, so the sweep-end pose is the next sample.
-        sweep = msg.time_increment * (len(msg.ranges) - 1)
-        odom_end = (bag.odom[t + 1]
-                    if sweep > 0 and t + 1 < len(bag) else None)
+        odom_end = sweep_end_odom(bag, t, msg)
         with lock:
             res = mapper.process_scan(msg, odom_pose, odom_end)
         if res.accepted:
