@@ -104,3 +104,71 @@ class TestScanServer:
             "angle_increment": 2 * np.pi / len(ranges), "range_max": 10.0,
             "odom": [0.0, 0.0, 0.0]})
         assert out["ok"]
+
+
+class TestWindowedProtocol:
+    """Round-3: pipelined live surface — immediate acks, async pose results,
+    unconditional state.json cadence (TF-broadcast parity)."""
+
+    @pytest.fixture()
+    def live_pipelined(self, tmp_path):
+        cfg = MapperConfig(
+            local_scan_matcher=ScanMatcherConfig(grid_cells_x=160,
+                                                 grid_cells_y=160),
+            global_scan_matcher=ScanMatcherConfig(grid_cells_x=160,
+                                                  grid_cells_y=160),
+            max_points_per_scan=512, loop_closure_every=10**9,
+            max_inflight=8)
+        mapper = Mapper(cfg)
+        sock = str(tmp_path / "scan.sock")
+        pub = str(tmp_path / "pub")
+        srv = server_mod.ScanServer(mapper, sock, publish_dir=pub)
+        srv.publisher.period = 0.02
+        yield mapper, srv, sock, pub
+        srv.close()
+
+    def test_windowed_stream_delivers_all_poses(self, live_pipelined):
+        mapper, srv, sock, pub = live_pipelined
+        bag = bag_mod.record_synthetic("box", 12, n_beams=240, seed=4)
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "bag.npz")
+            bag_mod.save_bag(bag, path)
+            last = server_mod.stream_bag(path, sock, windowed=True)
+        assert last["ok"]
+        results = last["results"]
+        # every accepted scan eventually produced a result line
+        accepted = mapper.graph.num_scans
+        assert accepted >= 10
+        # scan 0 takes the synchronous first-scan path (no future) and some
+        # scans may be motion-gated; all others stream results.
+        assert len(results) >= accepted - 2
+        for r in results.values():
+            assert len(r["pose"]) == 3 and len(r["map_to_odom"]) == 3
+            assert np.isfinite(r["pose"]).all()
+        # deferred poses match what drained into the graph
+        ids = sorted(results)
+        graph_tail = mapper.graph.poses[-len(ids):]
+        got = np.asarray([results[i]["pose"] for i in ids])
+        np.testing.assert_allclose(got, graph_tail, atol=1e-5)
+
+    def test_state_json_publishes_unconditionally(self, live_pipelined):
+        """map->odom state must refresh on the cadence even with NO map
+        update (reference broadcasts TF every 250 ms regardless,
+        ndt_mapper.cpp:716-742)."""
+        mapper, srv, sock, pub = live_pipelined
+        state_path = os.path.join(pub, "state.json")
+        deadline = time.time() + 5.0
+        while not os.path.exists(state_path) and time.time() < deadline:
+            time.sleep(0.02)
+        assert os.path.exists(state_path)
+        m1 = os.stat(state_path).st_mtime_ns
+        # No scans are flowing and no map update is pending...
+        assert not mapper.map_update_available
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if os.stat(state_path).st_mtime_ns > m1:
+                break
+            time.sleep(0.02)
+        assert os.stat(state_path).st_mtime_ns > m1, \
+            "state.json must advance between map updates"
