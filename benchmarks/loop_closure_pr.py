@@ -1,0 +1,238 @@
+"""Loop-closure candidate recall / confirmation precision benchmark.
+
+Round-2 VERDICT weak #3: the descriptor search accepted 4 of 784 candidates
+with no ground-truth-revisit metric to say whether the descriptors, the 0.95
+similarity constant, or the EWMA gate was responsible.  This benchmark labels
+TRUE revisits from the simulator's ground truth and scores each candidate
+source + gate setting on:
+
+  * candidate recall  — revisit queries whose proposal list contains a true
+    revisit / all revisit queries.  A revisit query is an accepted keyframe
+    with at least one earlier keyframe (outside the rolling window) within
+    ``r_gt`` meters in TRUTH coordinates.
+  * confirmation precision — accepted closures whose (query, candidate) pair
+    is a true revisit / all accepted closures.
+  * closure recall — revisit queries that got >= 1 accepted true closure.
+
+Modes: "radius" (Graph::findNearest parity, drift-sensitive by construction:
+it searches the DRIFTED pose estimates, src/graph.cpp:167-189) and
+"descriptor" (appearance-based, drift-agnostic).  Scenarios: the config-3
+office drift level and a 3x-drift variant where odometry error exceeds the
+radius search's reach — the case the descriptor path exists for.
+
+Usage: python benchmarks/loop_closure_pr.py [--quick] [--scenario office|
+office_drift|simlab|all]
+Appends rows to benchmarks/lc_pr_results.json and prints them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses as dc
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "lc_pr_results.json")
+
+
+def label_revisits(truth_xy: np.ndarray, exclude: int, r_gt: float):
+    """Per-keyframe true-revisit sets from ground truth.
+
+    Returns a list of sets: revisit[idx] = {i : i <= idx - exclude,
+    ||truth[i] - truth[idx]|| < r_gt}.
+    """
+    n = len(truth_xy)
+    d = np.linalg.norm(truth_xy[:, None, :] - truth_xy[None, :, :], axis=-1)
+    out = []
+    for idx in range(n):
+        limit = idx - exclude + 1
+        hits = set(np.nonzero(d[idx, :max(limit, 0)] < r_gt)[0].tolist())
+        out.append(hits)
+    return out
+
+
+def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
+    """Recall/precision of one finished session's lc_log vs truth."""
+    exclude = mapper.config.rolling_depth + 1
+    revisits = label_revisits(truth_used[:, :2], exclude, r_gt)
+    queries = {i for i, r in enumerate(revisits) if r}
+
+    cands = {}
+    for idx, cc in mapper.lc_log["candidates"]:
+        if idx < len(revisits):
+            cands.setdefault(idx, set()).update(cc)
+    hit_queries = {idx for idx in queries
+                   if cands.get(idx) and (cands[idx] & revisits[idx])}
+
+    accepted = [(idx, i) for idx, i, _, _, ok in mapper.lc_log["decisions"]
+                if ok and idx < len(revisits)]
+    true_accepted = [(idx, i) for idx, i in accepted if i in revisits[idx]]
+    closed_queries = {idx for idx, _ in true_accepted}
+
+    return {
+        "revisit_queries": len(queries),
+        "candidate_recall": round(len(hit_queries) / max(len(queries), 1), 3),
+        "accepted": len(accepted),
+        "confirmation_precision": round(
+            len(true_accepted) / max(len(accepted), 1), 3),
+        "closure_recall": round(
+            len(closed_queries & queries) / max(len(queries), 1), 3),
+    }
+
+
+def run_office(loop_search: str, gate_scale: float, min_sim: float,
+               odom_scale: float, n: int):
+    from ndt_2d_tpu.config import ScanMatcherConfig, SolverConfig
+    from ndt_2d_tpu.io import bag as bag_mod
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    bag = bag_mod.record_synthetic(
+        "office", n, n_beams=600, range_max=12.0, seed=1,
+        odom_trans_noise=0.02 * odom_scale, odom_rot_noise=0.004 * odom_scale)
+    global_mcfg = ScanMatcherConfig(
+        ndt_resolution=0.35, search_linear_size=0.15,
+        search_linear_resolution=0.01, search_angular_size=0.05,
+        grid_cells_x=160, grid_cells_y=160)
+    mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
+    from ndt_2d_tpu.config import MapperConfig
+    cfg = MapperConfig(
+        local_scan_matcher=mcfg, global_scan_matcher=global_mcfg,
+        max_points_per_scan=512, global_search_size=4.0,
+        optimization_node_limit=10, loop_closure_every=20,
+        minimum_travel_distance=0.3, max_inflight=8,
+        loop_search=loop_search, descriptor_min_similarity=min_sim,
+        loop_closure_gate_scale=gate_scale,
+        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
+    mapper = Mapper(cfg)
+    used_truth = []
+    t0 = time.perf_counter()
+    for t, (msg, odom) in enumerate(bag):
+        res = mapper.process_scan(msg, odom)
+        if res.accepted:
+            used_truth.append(bag.truth[t])
+    mapper.flush()
+    mapper.loop_closure()
+    wall = time.perf_counter() - t0
+    used_truth = np.asarray(used_truth)
+    row = score_session(mapper, used_truth)
+    final = mapper.graph.poses[:len(used_truth)]
+    row.update(
+        ate_rmse_m=round(metrics.ate_rmse(final, used_truth), 4),
+        ate_aligned_m=round(metrics.ate_rmse_aligned(final, used_truth), 4),
+        odom_only_ate_m=round(metrics.ate_rmse(bag.odom, bag.truth), 4),
+        wall_s=round(wall, 1))
+    return row
+
+
+def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None):
+    from ndt_2d_tpu.config import (MapperConfig, ScanMatcherConfig,
+                                   SolverConfig)
+    from ndt_2d_tpu.io import carmen
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.utils import metrics
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bag = carmen.load_carmen(os.path.join(root, "datasets", "simlab.clf.gz"),
+                             range_max=10.0)
+    truth = np.load(os.path.join(root, "datasets", "simlab_truth.npz"))[
+        "truth"]
+    n = n or len(bag)
+    global_mcfg = ScanMatcherConfig(
+        ndt_resolution=0.35, search_linear_size=0.15,
+        search_linear_resolution=0.01, search_angular_size=0.05,
+        grid_cells_x=160, grid_cells_y=160)
+    mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
+    cfg = MapperConfig(
+        local_scan_matcher=mcfg, global_scan_matcher=global_mcfg,
+        max_points_per_scan=512, global_search_size=4.0,
+        optimization_node_limit=10, loop_closure_every=20,
+        minimum_travel_distance=0.3, max_range=10.0, max_inflight=8,
+        loop_search=loop_search, descriptor_min_similarity=min_sim,
+        loop_closure_gate_scale=gate_scale,
+        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
+    mapper = Mapper(cfg)
+    used_truth = []
+    t0 = time.perf_counter()
+    for t in range(n):
+        msg, odom = bag[t]
+        res = mapper.process_scan(msg, odom)
+        if res.accepted:
+            used_truth.append(truth[t])
+    mapper.flush()
+    mapper.loop_closure()
+    wall = time.perf_counter() - t0
+    used_truth = np.asarray(used_truth)
+    row = score_session(mapper, used_truth)
+    final = mapper.graph.poses[:len(used_truth)]
+    row.update(
+        ate_rmse_m=round(metrics.ate_rmse(final, used_truth), 4),
+        ate_aligned_m=round(metrics.ate_rmse_aligned(final, used_truth), 4),
+        odom_only_ate_m=round(metrics.ate_rmse(bag.odom[:n], truth[:n]), 4),
+        wall_s=round(wall, 1))
+    return row
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--scenario", default="all",
+                    choices=["office", "office_drift", "simlab", "all"])
+    args = ap.parse_args(argv)
+
+    from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    n_office = 300 if args.quick else 1200
+    n_simlab = 300 if args.quick else None
+    rows = []
+
+    def add(scenario, mode, gate, sim, row):
+        row = dict(scenario=scenario, loop_search=mode, gate_scale=gate,
+                   min_similarity=sim, **row)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.scenario in ("office", "all"):
+        for gate in (0.85, 1.0, 1.15):
+            add("office", "radius", gate, None,
+                run_office("radius", gate, 0.95, 1.0, n_office))
+        for sim_t in (0.90, 0.95, 0.97):
+            add("office", "descriptor", 1.0, sim_t,
+                run_office("descriptor", 1.0, sim_t, 1.0, n_office))
+
+    if args.scenario in ("office_drift", "all"):
+        # 3x odometry noise: drift exceeds the 2 m radius search reach —
+        # the descriptor path's reason to exist.
+        for mode, sim_t in (("radius", None), ("descriptor", 0.90),
+                            ("descriptor", 0.95)):
+            add("office_drift", mode, 1.0, sim_t,
+                run_office(mode, 1.0, sim_t or 0.95, 3.0, n_office))
+
+    if args.scenario in ("simlab", "all"):
+        for gate in (0.85, 1.0, 1.15):
+            add("simlab", "radius", gate, None,
+                run_simlab(gate, "radius", 0.95, n_simlab))
+
+    existing = []
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            existing = json.load(f)
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    for r in rows:
+        r["ts"] = stamp
+    existing.extend(rows)
+    with open(RESULTS, "w") as f:
+        json.dump(existing, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,7 +22,8 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libndt2d_native.so")
-_SOURCES = ["baseline_matcher.cpp", "graph_codec.cpp", "bag_codec.cpp"]
+_SOURCES = ["baseline_matcher.cpp", "graph_codec.cpp", "bag_codec.cpp",
+            "reference_pipeline.cpp"]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -46,6 +47,7 @@ def _load() -> ctypes.CDLL:
     if _lib is None:
         lib = ctypes.CDLL(build())
         lib.ndt2d_match_baseline.restype = ctypes.c_double
+        lib.ndt2d_reference_slam.restype = ctypes.c_int
         lib.ndt2d_save_graph.restype = ctypes.c_int
         lib.ndt2d_graph_header.restype = ctypes.c_int
         lib.ndt2d_load_graph.restype = ctypes.c_int
@@ -98,6 +100,62 @@ def match_baseline(window_poses, window_points, window_mask, scan_points,
         ctypes.c_int(config.laser_max_beams),
         _ptr(corr, ctypes.c_float), ctypes.byref(cands))
     return float(score), corr, int(cands.value)
+
+
+def reference_slam(points, mask, odom, range_max, mapper_cfg,
+                   gate_scale: float = 1.0):
+    """Run the reference-shaped full C++ SLAM pipeline on pre-projected
+    scans (native/reference_pipeline.cpp): rolling-window matching, radius
+    loop closure with the EWMA gate, Gauss-Newton optimization.
+
+    This is the trajectory ORACLE the TPU pipeline's ATE is compared
+    against (benchmarks/reference_oracle.py) — the reference itself
+    publishes no numbers, so this from-scratch reimplementation of its
+    node loop (src/ndt_mapper.cpp:495-683) creates them.
+
+    Args:
+      points: [T, P, 2] float32 robot-frame projected points; mask: [T, P];
+      odom: [T, 3] odometry poses; mapper_cfg: MapperConfig (local/global
+      matcher settings + gates/cadences are read from it).
+    Returns (poses [A, 3], accepted_ids [A], n_closures, n_optimizations).
+    """
+    lib = _load()
+    pts = np.ascontiguousarray(points, np.float32)
+    msk = np.ascontiguousarray(mask, np.uint8)
+    od = np.ascontiguousarray(odom, np.float64)
+    T, P = msk.shape
+    poses_out = np.zeros((T, 3), np.float64)
+    ids_out = np.zeros(T, np.int32)
+    ncl = ctypes.c_int(0)
+    nopt = ctypes.c_int(0)
+    lc = mapper_cfg.local_scan_matcher
+    gc = mapper_cfg.global_scan_matcher
+    n = lib.ndt2d_reference_slam(
+        _ptr(pts, ctypes.c_float), _ptr(msk, ctypes.c_uint8),
+        _ptr(od, ctypes.c_double), ctypes.c_int(T), ctypes.c_int(P),
+        ctypes.c_double(range_max),
+        ctypes.c_double(mapper_cfg.minimum_travel_distance),
+        ctypes.c_double(mapper_cfg.minimum_travel_rotation),
+        ctypes.c_int(mapper_cfg.rolling_depth),
+        ctypes.c_double(lc.ndt_resolution),
+        ctypes.c_double(lc.search_angular_resolution),
+        ctypes.c_double(lc.search_angular_size),
+        ctypes.c_double(lc.search_linear_resolution),
+        ctypes.c_double(lc.search_linear_size),
+        ctypes.c_double(gc.ndt_resolution),
+        ctypes.c_double(gc.search_angular_resolution),
+        ctypes.c_double(gc.search_angular_size),
+        ctypes.c_double(gc.search_linear_resolution),
+        ctypes.c_double(gc.search_linear_size),
+        ctypes.c_int(lc.laser_max_beams),
+        ctypes.c_double(mapper_cfg.global_search_size),
+        ctypes.c_int(mapper_cfg.global_search_limit),
+        ctypes.c_int(mapper_cfg.optimization_node_limit),
+        ctypes.c_int(mapper_cfg.loop_closure_every),
+        ctypes.c_double(gate_scale),
+        _ptr(poses_out, ctypes.c_double), _ptr(ids_out, ctypes.c_int32),
+        ctypes.byref(ncl), ctypes.byref(nopt))
+    return (poses_out[:n], ids_out[:n], int(ncl.value), int(nopt.value))
 
 
 def save_graph(graph, path: str) -> None:
