@@ -75,7 +75,9 @@ def decode_scan(blob: bytes) -> Tuple[int, np.ndarray, np.ndarray]:
 
 def encode_scan(scan_id: int, pose, points) -> bytes:
     pose = np.asarray(pose, np.float64)
-    points = np.asarray(points, np.float64)
+    # reshape: a point-less scan (the reference tolerates them and
+    # set_initial_pose creates one) arrives as shape (0,), not (0, 2).
+    points = np.asarray(points, np.float64).reshape(-1, 2)
     n = points.shape[0]
     # The alignment pad after the count exists only when elements follow.
     head = struct.pack("<Q7dI" + ("4x" if n else ""), scan_id, pose[0],
