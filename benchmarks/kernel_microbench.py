@@ -94,6 +94,9 @@ def main(argv=None) -> int:
         from ndt_2d_tpu.matching import pallas_kernels
         variants["pallas"] = lambda p: pallas_kernels.candidate_scores_pallas(
             cfg, grid, spts, smask, p, dths, dls)
+        variants["pallas_in_kernel_gather"] = (
+            lambda p: pallas_kernels.candidate_scores_pallas_gather(
+                cfg, grid, spts, smask, p, dths, dls))
     except Exception as e:  # pragma: no cover
         print(f"pallas unavailable: {e}", file=sys.stderr)
 

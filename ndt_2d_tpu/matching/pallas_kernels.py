@@ -146,3 +146,158 @@ def candidate_scores_pallas(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     )(bx, by, cx, cy, pack, dxv, dyv, bounds_arr)
 
     return out[:A, :T].reshape(A, L, L)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 experiment (VERDICT #4): the gather INSIDE the kernel.
+#
+# Round 2 proved the retired kernel loses because it shares the XLA row-gather
+# (prepare_neighborhood) and only re-implements the cheap dense phase.  This
+# variant brings the gather in: the packed [H*W, 32] patch table is passed as
+# a whole-array VMEM block, the per-(angle, beam) flat indices arrive
+# precomputed, and each grid program fetches its block's rows with dynamic
+# row reads (pl.ds) inside a fori_loop, then runs the same dense select/exp.
+# ---------------------------------------------------------------------------
+def _gather_score_kernel(flat_ref, bx_ref, by_ref, cx_ref, cy_ref, smask_ref,
+                         dx_ref, dy_ref, bounds_ref, table_ref, out_ref,
+                         rows_ref):
+    """One angle block: in-kernel row gather + dense candidate scoring.
+
+    rows_ref: [A_BLK * B_pad, 32] VMEM scratch for the gathered rows.
+    """
+    a_blk = bx_ref.shape[0]
+    b_pad = bx_ref.shape[1]
+
+    def fetch(i, _):
+        # one row per (angle-in-block, beam): dynamic VMEM row read
+        r = flat_ref[i // b_pad, i % b_pad]
+        rows_ref[pl.ds(i, 1), :] = table_ref[pl.ds(r, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, a_blk * b_pad, fetch, 0)
+
+    dx = dx_ref[0, :]
+    dy = dy_ref[0, :]
+    x_lo, x_hi = bounds_ref[0, 0], bounds_ref[0, 1]
+    y_lo, y_hi = bounds_ref[0, 2], bounds_ref[0, 3]
+
+    for a in range(a_blk):
+        bx = bx_ref[a, :]
+        by = by_ref[a, :]
+        cx = cx_ref[a, :]
+        cy = cy_ref[a, :]
+        pack = rows_ref[pl.ds(a * b_pad, b_pad), :]        # [B, 32]
+        sm = smask_ref[a, :]
+
+        wx = bx[:, None] + dx[None, :]
+        wy = by[:, None] + dy[None, :]
+        jx = wx >= cx[:, None]
+        jy = wy >= cy[:, None]
+        in_g = ((wx >= x_lo) & (wx < x_hi) & (wy >= y_lo) & (wy < y_hi))
+
+        def sel(k):
+            v00 = pack[:, 0 + k][:, None]
+            v01 = pack[:, 8 + k][:, None]
+            v10 = pack[:, 16 + k][:, None]
+            v11 = pack[:, 24 + k][:, None]
+            lo = jnp.where(jx, v01, v00)
+            hi = jnp.where(jx, v11, v10)
+            return jnp.where(jy, hi, lo)
+
+        qx = wx - sel(0)
+        qy = wy - sel(1)
+        i00, i01, i11 = sel(2), sel(3), sel(4)
+        ok = (sel(5) > 0.5) & in_g & (sm[:, None] > 0.5)
+        e = -0.5 * (i00 * qx * qx + 2.0 * i01 * qx * qy + i11 * qy * qy)
+        score = jnp.where(ok, jnp.exp(jnp.minimum(e, 0.0)), 0.0)
+        out_ref[a, :] = -jnp.sum(score, axis=0)
+
+
+def candidate_scores_pallas_gather(config: ScanMatcherConfig,
+                                   grid: ndt_grid.NDTGrid, spts, smask, pose,
+                                   dths, dls, interpret: bool = False,
+                                   packed_table=None):
+    """The in-kernel-gather variant: index math in XLA (cheap dense ops),
+    the row gather AND dense phase inside one Pallas kernel with the packed
+    table VMEM-resident.  Semantics identical to the fast path."""
+    L = config.num_linear
+    A = dths.shape[0]
+    B = spts.shape[0]
+    dtype = spts.dtype
+    W, H = config.grid_cells_x, config.grid_cells_y
+
+    # Index math (same as prepare_neighborhood, minus the gather).
+    th = pose[2] + dths
+    c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]
+    px, py = spts[:, 0][None, :], spts[:, 1][None, :]
+    bx = c * px - s * py + pose[0]
+    by = s * px + c * py + pose[1]
+    cell = grid.cell_size
+    ix0 = jnp.floor((bx + dls[0] - grid.origin[0]) / cell).astype(jnp.int32)
+    iy0 = jnp.floor((by + dls[0] - grid.origin[1]) / cell).astype(jnp.int32)
+    ixc = jnp.clip(ix0, 0, W - 2)
+    iyc = jnp.clip(iy0, 0, H - 2)
+    cx = grid.origin[0] + (ixc.astype(dtype) + 1.0) * cell
+    cy = grid.origin[1] + (iyc.astype(dtype) + 1.0) * cell
+    flat = iyc * W + ixc                                   # [A, B] int32
+
+    if packed_table is None:
+        packed_table = ndt_grid.packed_patch_table(grid, W)  # [H*W, 32]
+
+    bounds_arr = jnp.zeros((1, 8), dtype)
+    bounds_arr = bounds_arr.at[0, :4].set(jnp.stack([
+        grid.origin[0], grid.origin[0] + W * cell,
+        grid.origin[1], grid.origin[1] + H * cell]).astype(dtype))
+
+    B_pad = _round_up(B, 128)
+    A_BLK = 8
+    A_pad = _round_up(A, A_BLK)
+    T = L * L
+    T_pad = _round_up(T, 128)
+
+    def pad_ab(x, fill=0):
+        return jnp.pad(x, ((0, A_pad - A), (0, B_pad - B)),
+                       constant_values=fill)
+
+    bx, by, cx, cy = (pad_ab(v) for v in (bx, by, cx, cy))
+    flat = pad_ab(flat)
+    smask_f = pad_ab(jnp.broadcast_to(
+        smask[None, :].astype(dtype), (A, B)))
+
+    dxv = jnp.repeat(dls, L)
+    dyv = jnp.tile(dls, L)
+    dxv = jnp.pad(dxv, (0, T_pad - T))[None, :]
+    dyv = jnp.pad(dyv, (0, T_pad - T))[None, :]
+
+    out = pl.pallas_call(
+        _gather_score_kernel,
+        grid=(A_pad // A_BLK,),
+        in_specs=[
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),     # flat indices
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_BLK, B_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),     # smask (as float)
+            pl.BlockSpec((1, T_pad), lambda a: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_pad), lambda a: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda a: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # whole table
+        ],
+        out_specs=pl.BlockSpec((A_BLK, T_pad), lambda a: (a, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A_pad, T_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((A_BLK * B_pad, 32), dtype)],
+        interpret=interpret,
+    )(flat, bx, by, cx, cy, smask_f, dxv, dyv, bounds_arr, packed_table)
+
+    return out[:A, :T].reshape(A, L, L)

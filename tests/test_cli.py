@@ -200,3 +200,20 @@ class TestTrajectoryExport:
         assert np.isfinite(poses).all()
         # yaw round-trips through the quaternion encoding
         assert abs(poses[0][2]) < np.pi
+
+
+class TestCliMesh:
+    def test_run_with_mesh(self, small_bag, tmp_path, capsys):
+        """cli run --mesh N drives the sharded pipeline end-to-end."""
+        import jax
+        if jax.device_count() < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        map_out = str(tmp_path / "map.npz")
+        rc = cli.main(["run", "--bag", small_bag, "--map-out", map_out,
+                       "--mesh", str(jax.device_count()),
+                       "--local_scan_matcher.grid_cells", "160",
+                       "--loop-closure-every", "1000000"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["scans_accepted"] >= 14
+        assert stats["ate_rmse_m"] < 0.12
