@@ -339,14 +339,33 @@ class ParticleFilter:
             c.odom_alpha1, c.odom_alpha2, c.odom_alpha3, c.odom_alpha4)
         self._refresh_statistics()
 
-    def measure(self, matcher, points, point_mask, num_points):
+    def measure(self, matcher, points, point_mask, num_points, mesh=None):
         """Measurement update: weight_i = scorePoints(scan, particle_i)
         (particle_filter.cpp:78-89).  The raw (negative) NDT score is used
         directly as the weight and becomes positive on normalization, exactly
-        as in the reference."""
-        scores = matcher_mod.score_points_batch(
-            matcher.config, matcher.grid, jnp.asarray(points),
-            jnp.asarray(point_mask), jnp.asarray(num_points), self.particles)
+        as in the reference.
+
+        ``mesh``: optional jax mesh — shards the particle axis over the
+        'batch' axis (parallel.filter.measure_multichip); pure data
+        parallelism, identical scores.
+        """
+        if mesh is not None:
+            from ndt_2d_tpu.parallel import filter as pfilter
+            from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
+            m = self.particles.shape[0]
+            nb = mesh.shape[BATCH_AXIS]
+            m_pad = -(-m // nb) * nb
+            parts = (jnp.pad(self.particles, ((0, m_pad - m), (0, 0)))
+                     if m_pad != m else self.particles)
+            scores = pfilter.measure_multichip(
+                matcher.config, mesh, matcher.grid, jnp.asarray(points),
+                jnp.asarray(point_mask), jnp.asarray(num_points),
+                parts)[:m]
+        else:
+            scores = matcher_mod.score_points_batch(
+                matcher.config, matcher.grid, jnp.asarray(points),
+                jnp.asarray(point_mask), jnp.asarray(num_points),
+                self.particles)
         self.weights = scores
         self._refresh_statistics()
 

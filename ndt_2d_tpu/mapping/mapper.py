@@ -784,6 +784,30 @@ class Mapper:
             if fs is not None:
                 f.set_free_space(*fs)
                 logger.info("PF recovery armed: %d free cells", len(fs[0]))
+        from ndt_2d_tpu.matching.matcher import NDTScanMatcher
+        if (self.mesh is not None
+                and isinstance(self.global_matcher, NDTScanMatcher)
+                and self.global_matcher.grid is not None):
+            # Mesh mode: reference-shaped update/measure/resample sequence
+            # with the MEASUREMENT (the PF's compute bulk) particle-sharded
+            # over the 'batch' axis (parallel.filter.measure_multichip).
+            self._drain_all()
+            delta = robot_pose[:2] - self.prev_robot_pose[:2]
+            c = np.cos(-self.prev_robot_pose[2])
+            s = np.sin(-self.prev_robot_pose[2])
+            with self.stats.timer.section("pf_step"):
+                f.update(c * delta[0] - s * delta[1],
+                         s * delta[0] + c * delta[1],
+                         _normalize_angle(robot_pose[2]
+                                          - self.prev_robot_pose[2]))
+                f.measure(self.global_matcher, points, mask, num_points,
+                          mesh=self.mesh)
+                f.resample()
+            pose = np.asarray(f.get_mean(), np.float64)
+            self.prev_odom_pose = odom_pose.copy()
+            self.prev_robot_pose = pose.copy()
+            self.stats.record_scan(True)
+            return ScanResult(accepted=True, pose=pose)
         if self.config.max_inflight > 0:
             # Pipelined: the control equals the odometry delta in the
             # previous robot frame (see _odom_delta), so the dispatch needs

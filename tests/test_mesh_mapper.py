@@ -165,6 +165,43 @@ class TestMeshFullSlam:
         assert err1 < 0.05 and err2 < 0.05
         np.testing.assert_allclose(g1.poses, g2.poses, atol=5e-3)
 
+    def test_mesh_particle_filter(self, mesh, tmp_path):
+        """PF localization with the measurement particle-sharded."""
+        world = sim.make_box_world(10.0, 8.0)
+        truth = np.stack([np.linspace(3.0, 7.0, 12),
+                          np.full(12, 4.0), np.zeros(12)], axis=-1)
+        mapper = Mapper(CFG)
+        for t in range(len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=14.0, noise=0.01,
+                                   rng=np.random.default_rng(t))
+            mapper.process_scan(msg, truth[t])
+        path = str(tmp_path / "map.npz")
+        mapper.configure(SAVE_TO_FILE, path)
+
+        from ndt_2d_tpu.config import ParticleFilterConfig
+        cfg = dataclasses.replace(
+            CFG, use_particle_filter=True,
+            particle_filter=ParticleFilterConfig(
+                min_particles=100, max_particles=500,
+                odom_alpha1=0.05, odom_alpha2=0.05,
+                odom_alpha3=0.05, odom_alpha4=0.05))
+        loc = Mapper(cfg, mesh=mesh, seed=3)
+        loc.configure(LOAD_FROM_FILE, path)
+        rel = metrics.relative_to_first(truth)
+        loc.set_initial_pose(rel[0], np.diag([0.04, 0.04, 0.01]), truth[0])
+        odom = sim.drift_odometry(truth, 0.01, 0.003, seed=9)
+        errs = []
+        for t in range(1, len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=14.0, noise=0.01,
+                                   rng=np.random.default_rng(100 + t))
+            res = loc.process_scan(msg, odom[t])
+            if res.accepted:
+                errs.append(np.hypot(*(res.pose[:2] - rel[t][:2])))
+        assert len(errs) > 5
+        assert np.mean(errs) < 0.15
+
     def test_mesh_localization(self, mesh, tmp_path):
         """Scan-match localization with the global match angle-sharded."""
         world = sim.make_box_world(10.0, 8.0)
