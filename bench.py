@@ -141,46 +141,9 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"chain measurement skipped: {e}")
 
-    # ---- Pallas-kernel arm: same chained measurement with the hand-written
-    # candidate-scoring kernel (matching/pallas_kernels.py) so the
-    # XLA-vs-Pallas decision is data, not vibes (VERDICT r1 #3). ----
-    pallas_rate = None
-    try:
-        import dataclasses as dc
-        pconfig = dc.replace(config, use_pallas=True)
-        pres = matcher.match_scan(pconfig, grid, jpts, jmask, jn, pose_dev,
-                                  jnp.float32(range_max))
-        jax.block_until_ready(pres)
-        agree = abs(float(pres.score) - float(res.score))
-        log(f"pallas warm: score={float(pres.score):.4f} (|Δ| vs XLA "
-            f"{agree:.2e})")
-        K = 512
-        pose_offsets = jnp.asarray(
-            0.0005 * np.arange(K)[:, None] * np.ones(3, np.float32),
-            jnp.float32)
-
-        @jax.jit
-        def run_chain_pallas(base_pose):
-            def body(i, acc):
-                r = matcher.match_scan(pconfig, grid, jpts, jmask, jn,
-                                       base_pose + pose_offsets[i],
-                                       jnp.float32(range_max))
-                return acc + r.score
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
-
-        jax.block_until_ready(run_chain_pallas(pose_dev))
-        pallas_rounds = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run_chain_pallas(pose_dev))
-            pallas_rounds.append((time.perf_counter() - t0) / K)
-        t_pallas = min(pallas_rounds)
-        pallas_rate = config.num_candidates / t_pallas
-        log(f"pallas chained x{K}: {t_pallas*1e3:.3f} ms/match, "
-            f"{pallas_rate:.3e} candidates/s "
-            f"({pallas_rate/ (tpu_batch_rate or 1):.2f}x the XLA path)")
-    except Exception as e:  # pragma: no cover
-        log(f"pallas measurement skipped: {e}")
+    # (The hand-written Pallas scoring kernels were measured in rounds 1-3
+    # and retired: gather-bound, XLA's native gather wins — BASELINE.md
+    # "Pallas vs XLA".  benchmarks/kernel_microbench.py holds the record.)
 
     # ---- C++ single-thread baseline (the reference-equivalent loop) ----
     baseline_rate = None

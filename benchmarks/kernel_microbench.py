@@ -8,8 +8,9 @@ methodology), the per-match device time of:
                   A*B rows)
   * grouped-G   — matching.gather_opt: one 3x3 patch per G-angle group
                   ((A/G)*B rows, 9-way select)
-  * pallas      — the retired hand-written Pallas kernel (shares the XLA
-                  gather; dense phase in-kernel)
+  * (rounds 1-3 also measured the retired Pallas kernels here; the final
+    in-kernel-gather attempt lost 5x and the file was deleted — the
+    measured history lives in kernel_microbench.json and BASELINE.md)
 
 Usage: python benchmarks/kernel_microbench.py [--quick]
 Appends to benchmarks/kernel_microbench.json.
@@ -90,16 +91,6 @@ def main(argv=None) -> int:
             variants[f"grouped_{g}"] = (
                 lambda p, g=g: gather_opt.candidate_scores_grouped(
                     cfg, grid, spts, smask, p, dths, dls, g))
-    try:
-        from ndt_2d_tpu.matching import pallas_kernels
-        variants["pallas"] = lambda p: pallas_kernels.candidate_scores_pallas(
-            cfg, grid, spts, smask, p, dths, dls)
-        variants["pallas_in_kernel_gather"] = (
-            lambda p: pallas_kernels.candidate_scores_pallas_gather(
-                cfg, grid, spts, smask, p, dths, dls))
-    except Exception as e:  # pragma: no cover
-        print(f"pallas unavailable: {e}", file=sys.stderr)
-
     rows = {}
     ref = None
     for name, fn in variants.items():

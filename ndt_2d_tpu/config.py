@@ -54,10 +54,12 @@ class ScanMatcherConfig:
     # of the scan window poses +- range_max at ndt_resolution.
     grid_cells_x: int = 192
     grid_cells_y: int = 192
-    # Use the hand-written Pallas kernel for candidate scoring (requires the
-    # locality condition 2*search_linear_size <= ndt_resolution; falls back
-    # to the XLA fast path otherwise).
-    use_pallas: bool = False
+    # NOTE: hand-written Pallas scoring kernels were built and measured in
+    # rounds 1-3 and retired each time (BASELINE.md "Pallas vs XLA"): the
+    # kernel is bound by the packed-table row gather, XLA's native gather
+    # beats both the shared-gather kernel (0.21 vs 0.15 ms) and the
+    # in-kernel scalar-driven gather (0.73 ms), so the XLA fast path is the
+    # only scoring path.
     # Overlapping grids (Biber & Strasser 2003): score against 4 NDT grids
     # whose origins are shifted by half a cell in (x, y, xy) and average.
     # The reference deliberately simplifies to a single grid

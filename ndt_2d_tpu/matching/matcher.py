@@ -209,11 +209,6 @@ def _candidate_scores_one(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
     """candidate_scores for one (non-stacked) grid."""
     span = 2.0 * config.search_linear_size
     if span <= config.ndt_resolution:
-        if config.use_pallas:
-            from ndt_2d_tpu.matching import pallas_kernels
-            return pallas_kernels.candidate_scores_pallas(
-                config, grid, spts, smask, pose, dths, dls,
-                packed_table=packed_table)
         return _candidate_scores_local(config, grid, spts, smask, pose,
                                        dths, dls, packed_table)
     return _candidate_scores_gather(config, grid, spts, smask, pose,
