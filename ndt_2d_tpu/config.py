@@ -236,7 +236,11 @@ class MapperConfig:
     # basis of the sharded all-to-all search at district scale.
     loop_search: str = "radius"
     descriptor_bins: int = 32
-    descriptor_min_similarity: float = 0.95
+    # Tuned on the 3x-drift office recall benchmark (benchmarks/
+    # loop_closure_pr.py, lc_pr_results.json): with DC-free ring
+    # descriptors, 0.90 gives candidate recall 0.33 / final ATE 0.80 vs
+    # 0.29 / 1.28 at the old untuned 0.95.
+    descriptor_min_similarity: float = 0.90
     # Descriptor-mode candidates carry unknown odometry drift, so their NDT
     # confirmation runs coarse-to-fine: this wide/coarse lattice aligns first
     # (starting from the candidate's position), then ``global_scan_matcher``

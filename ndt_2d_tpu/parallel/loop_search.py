@@ -34,12 +34,13 @@ from jax.sharding import PartitionSpec as P
 from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins", "n_sectors"))
+@functools.partial(jax.jit, static_argnames=("n_bins", "n_sectors",
+                                             "n_rings"))
 def descriptors(points, point_mask, range_max, n_bins: int = 32,
-                n_sectors: int = 64):
+                n_sectors: int = 64, n_rings: int = 4):
     """Rotation-invariant keyframe descriptors, L2-normalized.
 
-    ``points`` [S, P, 2] robot-frame, ``point_mask`` [S, P].  Two parts,
+    ``points`` [S, P, 2] robot-frame, ``point_mask`` [S, P].  Three parts,
     concatenated and jointly normalized to unit L2 norm (so cosine similarity
     is a plain dot product):
 
@@ -48,12 +49,22 @@ def descriptors(points, point_mask, range_max, n_bins: int = 32,
       robot circularly shifts the profile, which only changes DFT phases —
       the magnitudes are exactly shift-invariant and capture *where the
       walls are*, not just how far.  The DFT is two small matmuls
-      ([S, A] @ [A, A/2+1] cos/sin tables) — MXU work, no FFT needed.
-    * a range histogram (counts of beam ranges over ``n_bins`` equal bins),
-      the distribution texture of the place.
+      ([S, A] @ [A, A/2] cos/sin tables) — MXU work, no FFT needed.
+    * **per-ring angular occupancy spectra** (Scan-Context-like radial
+      decomposition): points binned into ``n_rings`` range bands x
+      ``n_sectors`` sectors; each ring's angular occupancy profile gets the
+      same |DFT| treatment.  This angularly resolves the radial structure a
+      single mean-range profile collapses (measured on the 3x-drift office:
+      the profile+histogram descriptor ranked true revisits in the top-8
+      for only ~25% of revisit queries).
+    * a mean-centered range histogram (counts of beam ranges over
+      ``n_bins`` equal bins), the distribution texture of the place.
 
-    Scans with no valid points get a zero descriptor (cosine 0 against
-    everything).
+    All DFTs drop the k=0 (DC) magnitude and the histogram is mean-centered:
+    those components are near-identical across scans of one environment and
+    saturated every pairwise cosine toward 1.0, deadening top-k ranking and
+    the ``min_similarity`` knob.  Scans with no valid points get a zero
+    descriptor (cosine 0 against everything).
     """
     dtype = points.dtype
     S = points.shape[0]
@@ -78,18 +89,39 @@ def descriptors(points, point_mask, range_max, n_bins: int = 32,
     cnt = binned_sum(msk, sec, n_sectors)                       # [S, A]
     prof = binned_sum(r * msk, sec, n_sectors) / jnp.maximum(cnt, 1.0)
     prof = prof / range_max                                     # [S, A] in [0,1]
-    k = jnp.arange(n_sectors // 2 + 1, dtype=dtype)             # [F]
+    # Frequencies start at k=1: the k=0 (DC) magnitude is just the mean
+    # range, which is nearly identical for every scan of the same indoor
+    # space and saturated all-pairs cosines near 1.0 (measured: the
+    # min_similarity knob had no effect at 0.90-0.97 because every
+    # similarity exceeded it) — dropping DC spreads the distribution so
+    # top-k ranks on *shape*, not scale.
+    k = jnp.arange(1, n_sectors // 2 + 1, dtype=dtype)          # [F]
     a = jnp.arange(n_sectors, dtype=dtype)
     w = 2.0 * jnp.pi * a[:, None] * k[None, :] / n_sectors      # [A, F]
     spec = jnp.sqrt((prof @ jnp.cos(w)) ** 2
                     + (prof @ jnp.sin(w)) ** 2)                 # [S, F]
 
-    # --- range histogram ---
+    # --- per-ring angular occupancy spectra ---
+    ring = jnp.clip((r / range_max * n_rings).astype(jnp.int32),
+                    0, n_rings - 1)
+    ring_cnt = binned_sum(msk, ring * n_sectors + sec,
+                          n_rings * n_sectors)                  # [S, R*A]
+    ring_cnt = (ring_cnt
+                / jnp.maximum(jnp.sum(msk, axis=1, keepdims=True), 1.0))
+    ring_prof = ring_cnt.reshape(S, n_rings, n_sectors)         # [S, R, A]
+    ring_spec = jnp.sqrt((ring_prof @ jnp.cos(w)) ** 2
+                         + (ring_prof @ jnp.sin(w)) ** 2)       # [S, R, F]
+    ring_spec = ring_spec.reshape(S, -1)
+
+    # --- range histogram (mean-centered: the histogram always sums to 1,
+    # so its uncentered bins share a constant +1/n_bins component in every
+    # scan — the same cosine-saturating DC term) ---
     b = jnp.clip((r / range_max * n_bins).astype(jnp.int32), 0, n_bins - 1)
     hist = binned_sum(msk, b, n_bins)                           # [S, B]
     hist = hist / jnp.maximum(jnp.sum(msk, axis=1, keepdims=True), 1.0)
+    hist = hist - jnp.mean(hist, axis=-1, keepdims=True)
 
-    d = jnp.concatenate([spec, hist], axis=-1)
+    d = jnp.concatenate([spec, ring_spec, hist], axis=-1)
     norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
     has_points = jnp.sum(msk, axis=1, keepdims=True) > 0
     return jnp.where(has_points, d / jnp.maximum(norm, 1e-12), 0.0)
