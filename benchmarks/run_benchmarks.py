@@ -273,8 +273,7 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
     cfg = dc.replace(_mapper_config(), global_scan_matcher=global_mcfg,
                      global_search_size=4.0, optimization_node_limit=10,
                      loop_closure_every=20, loop_search=loop_search,
-                     minimum_travel_distance=0.3,
-                     descriptor_min_similarity=0.97)
+                     minimum_travel_distance=0.3)
     if loop_search == "descriptor":
         # Descriptor candidates are drift-agnostic BY DESIGN, so a wrong
         # correspondence can pass the score gate; the redescending loss on
