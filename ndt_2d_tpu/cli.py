@@ -275,6 +275,10 @@ def cmd_feed(args) -> int:
     last = stream_bag(args.bag, args.socket, realtime_hz=args.hz,
                       windowed=args.windowed)
     last["results"] = len(last.get("results", {}))  # keep the print short
+    times = last.pop("scan_times_s", [])
+    if times:
+        import numpy as np
+        last["scan_ms_median"] = round(float(np.median(times[3:])) * 1e3, 2)
     print(json.dumps(last))
     return 0 if last.get("ok") else 1
 
@@ -570,6 +574,10 @@ def main(argv=None) -> int:
     _add_matcher_args(p, "local_scan_matcher")
     _add_matcher_args(p, "global_scan_matcher")
     p.add_argument("--max-range", type=float, default=None)
+    p.add_argument("--max-inflight", type=int, default=None,
+                   dest="max_inflight",
+                   help="pipelined device pose chain (required for windowed "
+                        "clients to gain throughput; see 'feed --windowed')")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("feed", help="stream a bag into a running server")

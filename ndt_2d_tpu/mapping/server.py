@@ -304,6 +304,7 @@ def stream_bag(path: str, sock_path: str, realtime_hz: float = 0.0,
     bag = load_bag(path)
     last = {}
     results = {}
+    scan_times = []  # per-scan client-side request->reply latency
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.connect(sock_path)
         f = s.makefile("rwb")
@@ -330,9 +331,11 @@ def stream_bag(path: str, sock_path: str, realtime_hz: float = 0.0,
                 "range_max": msg.range_max,
                 "odom": odom.tolist(),
             }
+            t_send = time.perf_counter()
             f.write(json.dumps(req).encode() + b"\n")
             f.flush()
             last = read_reply()
+            scan_times.append(time.perf_counter() - t_send)
             if realtime_hz > 0:
                 time.sleep(1.0 / realtime_hz)
         if windowed:
@@ -340,4 +343,5 @@ def stream_bag(path: str, sock_path: str, realtime_hz: float = 0.0,
             f.flush()
             last = read_reply()
     last["results"] = results
+    last["scan_times_s"] = scan_times
     return last
