@@ -63,6 +63,7 @@ struct MatchResult {
 // (src/scan_matcher_ndt.cpp:103-148).
 MatchResult match_scan(const std::vector<int>& window,
                        const std::vector<Pose>& poses,
+                       const std::vector<int>& ids,  // bag index per keyframe
                        const float* points, const uint8_t* mask, int P,
                        int scan_idx, const Pose& start, double range_max,
                        double res, double ang_res, double ang_size,
@@ -85,10 +86,11 @@ MatchResult match_scan(const std::vector<int>& window,
   g.cells.assign(static_cast<size_t>(g.w) * g.h, CellStats());
   for (int s : window) {
     const double ct = std::cos(poses[s].th), st = std::sin(poses[s].th);
+    const size_t b = (size_t)ids[s] * P;  // points/mask are BAG-indexed
     for (int j = 0; j < P; ++j) {
-      if (!mask[(size_t)s * P + j]) continue;
-      const double lx = points[((size_t)s * P + j) * 2 + 0];
-      const double ly = points[((size_t)s * P + j) * 2 + 1];
+      if (!mask[b + j]) continue;
+      const double lx = points[(b + j) * 2 + 0];
+      const double ly = points[(b + j) * 2 + 1];
       const double x = poses[s].x + ct * lx - st * ly;
       const double y = poses[s].y + st * lx + ct * ly;
       const int idx = g.index(x, y);
@@ -405,7 +407,7 @@ int ndt2d_reference_slam(
         region.push_back(i);
         std::vector<int> region_ids;
         for (int k : region) region_ids.push_back(k);
-        MatchResult m = match_scan(region_ids, poses, points, mask, P,
+        MatchResult m = match_scan(region_ids, poses, ids, points, mask, P,
                                    ids[idx], poses[idx], range_max, g_res,
                                    g_ang_res, g_ang_size, g_lin_res,
                                    g_lin_size, max_beams);
@@ -458,7 +460,7 @@ int ndt2d_reference_slam(
       for (int k = lo; k < static_cast<int>(poses.size()); ++k)
         window.push_back(k);
       MatchResult m =
-          match_scan(window, poses, points, mask, P, t, robot, range_max,
+          match_scan(window, poses, ids, points, mask, P, t, robot, range_max,
                      l_res, l_ang_res, l_ang_size, l_lin_res, l_lin_size,
                      max_beams);
       typical = 0.95 * typical + 0.05 * m.score;  // EWMA (ndt_mapper.cpp:518)

@@ -276,7 +276,7 @@ def cmd_feed(args) -> int:
                       windowed=args.windowed)
     last["results"] = len(last.get("results", {}))  # keep the print short
     times = last.pop("scan_times_s", [])
-    if times:
+    if len(times) > 3:  # median over scans 4.. (first dispatch compiles)
         import numpy as np
         last["scan_ms_median"] = round(float(np.median(times[3:])) * 1e3, 2)
     print(json.dumps(last))

@@ -214,25 +214,38 @@ def pf_step_recovery(key_motion, key_resample, key_inject, particles, mask,
                                    kld_z, bin_sizes, min_particles,
                                    max_particles)
     new_mask = jnp.arange(max_particles) < n
+    samp, samp_w = inject_free_space(key_inject, samp, samp_w, n, free_xy,
+                                     free_cell, p_inject, max_particles)
+    w, mean, cov = update_statistics(samp, samp_w, new_mask)
+    return samp, w, n, mean, cov, w_slow, w_fast
 
-    k_sel, k_idx, k_jit, k_th = jax.random.split(key_inject, 4)
+
+@functools.partial(jax.jit, static_argnames=("max_particles",))
+def inject_free_space(key, particles, weights, n, free_xy, free_cell,
+                      p_inject, max_particles: int):
+    """Replace each active particle with probability ``p_inject`` by a
+    uniform draw over the map's free space (AMCL recovery injection).
+
+    Shared by the fused pf_step_recovery and the granular resample() path
+    (mesh-mode PF) so the two cannot drift.
+    """
+    new_mask = jnp.arange(max_particles) < n
+    k_sel, k_idx, k_jit, k_th = jax.random.split(key, 4)
     m = max_particles
     inject = (jax.random.uniform(k_sel, (m,)) < p_inject) & new_mask
     idx = jax.random.randint(k_idx, (m,), 0, free_xy.shape[0])
-    jit_xy = jax.random.uniform(k_jit, (m, 2), samp.dtype, -0.5, 0.5)
-    th = jax.random.uniform(k_th, (m, 1), samp.dtype, -np.pi, np.pi)
+    jit_xy = jax.random.uniform(k_jit, (m, 2), particles.dtype, -0.5, 0.5)
+    th = jax.random.uniform(k_th, (m, 1), particles.dtype, -np.pi, np.pi)
     rand_p = jnp.concatenate([free_xy[idx] + jit_xy * free_cell, th],
                              axis=-1)
     # Injected particles take the active mean weight: neutral in the
     # statistics, corrected by the next scan's measurement (AMCL gives its
     # random particles the uniform 1/M weight for the same reason).
-    neutral_w = (jnp.sum(jnp.where(new_mask, samp_w, 0.0))
-                 / jnp.maximum(n, 1).astype(samp_w.dtype))
-    samp = jnp.where(inject[:, None], rand_p, samp)
-    samp_w = jnp.where(inject, neutral_w, samp_w)
-
-    w, mean, cov = update_statistics(samp, samp_w, new_mask)
-    return samp, w, n, mean, cov, w_slow, w_fast
+    neutral_w = (jnp.sum(jnp.where(new_mask, weights, 0.0))
+                 / jnp.maximum(n, 1).astype(weights.dtype))
+    out_p = jnp.where(inject[:, None], rand_p, particles)
+    out_w = jnp.where(inject, neutral_w, weights)
+    return out_p, out_w
 
 
 class ParticleFilter:
@@ -345,6 +358,13 @@ class ParticleFilter:
         directly as the weight and becomes positive on normalization, exactly
         as in the reference.
 
+        When recovery is armed, the w_slow/w_fast EWMAs update here from the
+        RAW scores (the granular path normalizes weights immediately after,
+        losing the absolute measurement quality the EWMAs need), and
+        resample() performs the matching free-space injection — so the
+        granular update/measure/resample sequence (the mesh-mode PF path)
+        has the same recovery behavior as the fused pf_step_recovery.
+
         ``mesh``: optional jax mesh — shards the particle axis over the
         'batch' axis (parallel.filter.measure_multichip); pure data
         parallelism, identical scores.
@@ -366,6 +386,18 @@ class ParticleFilter:
                 matcher.config, matcher.grid, jnp.asarray(points),
                 jnp.asarray(point_mask), jnp.asarray(num_points),
                 self.particles)
+        if self.recovery_enabled:
+            c = self.config
+            goodness = -scores
+            n_in = jnp.maximum(jnp.sum(self.mask), 1)
+            w_avg = (jnp.sum(jnp.where(self.mask, goodness, 0.0))
+                     / n_in.astype(goodness.dtype))
+            self.w_slow = jnp.where(
+                self.w_slow == 0.0, w_avg,
+                self.w_slow + c.recovery_alpha_slow * (w_avg - self.w_slow))
+            self.w_fast = jnp.where(
+                self.w_fast == 0.0, w_avg,
+                self.w_fast + c.recovery_alpha_fast * (w_avg - self.w_fast))
         self.weights = scores
         self._refresh_statistics()
 
@@ -380,6 +412,13 @@ class ParticleFilter:
             jnp.float32(kld_err), jnp.float32(kld_z), bins,
             c.min_particles, c.max_particles)
         self.n_active = int(n)
+        if self.recovery_enabled:
+            p_inject = jnp.maximum(
+                0.0, 1.0 - self.w_fast / jnp.maximum(self.w_slow, 1e-30))
+            self.particles, self.weights = inject_free_space(
+                self._split(), self.particles, self.weights, n,
+                self.free_xy, jnp.float32(self.free_cell), p_inject,
+                c.max_particles)
         self._refresh_statistics()
 
     def step_async(self, matcher, control, points, point_mask, num_points):

@@ -23,8 +23,9 @@ occur in the wild, both supported here:
 Real logs mix sensor configurations (front + rear laser, reconfigured
 sessions); a ScanBag is one fixed [T, N] tensor with one angular layout, so
 the importer groups lines by (format, n, start, resolution), keeps the most
-common group, and reports everything it skipped in ``ScanBag`` order — use
-``load_carmen_report`` (or logging at WARNING) to see the counts.  Per-line
+common group, and reports everything it skipped — pass a ``CarmenReport``
+via ``load_carmen(..., report=...)`` (or watch the WARNING logs) to see the
+counts.  Per-line
 timestamps are captured into ``ScanBag.times`` so motion de-skew can place
 the sweep at its true fraction of the inter-scan interval
 (mapping/runtime.py::run_bag).

@@ -147,7 +147,11 @@ class Mapper:
         # rows are (query_idx, candidate_id, score, gate, accepted).  Powers
         # the precision/recall benchmark (benchmarks/loop_closure_pr.py); the
         # reference's only signal here is a log line (ndt_mapper.cpp:648,666).
-        self.lc_log = {"candidates": [], "decisions": []}
+        # Bounded (FIFO) so a long-lived serve session cannot grow RSS
+        # without limit; benchmark sessions stay far below the cap.
+        from collections import deque
+        self.lc_log = {"candidates": deque(maxlen=100_000),
+                       "decisions": deque(maxlen=100_000)}
         # Device-resident rolling window (matcher.RollingWindow); rebuilt
         # from the graph whenever poses change outside the append path
         # (optimization, map load, initial pose).  _window_synced tracks how
@@ -1279,12 +1283,22 @@ class Mapper:
         (ndt_mapper.cpp:722-739).
 
         ``drain=False`` reads the current host estimate without blocking on
-        in-flight pipelined steps — the estimate then lags by at most
-        ``max_inflight`` scans, exactly like the reference's 4 Hz broadcast
-        lags its ingest thread (ndt_mapper.cpp:716-742)."""
+        in-flight pipelined steps.  ``prev_odom_pose`` advances at every
+        pipelined DISPATCH while ``prev_robot_pose`` only advances at drain,
+        so mid-pipeline the pair (prev_robot@t-k, odom@t) would be corrupted
+        by the robot's motion over the in-flight window; ``_approx_pose``
+        (the odometry-composed chain from the last corrected anchor) is the
+        map->robot estimate consistent with ``prev_odom_pose``, differing
+        from the drained answer only by the <= max_inflight scans of
+        not-yet-applied match corrections — the same bounded lag as the
+        reference's 4 Hz broadcast vs its ingest thread
+        (ndt_mapper.cpp:716-742)."""
         if drain:
             self._drain_all()
         mr = self.prev_robot_pose
+        if (not drain and self._pending and self._approx_pose is not None
+                and self.enable_mapping and not self.use_particle_filter):
+            mr = self._approx_pose
         orp = self.prev_odom_pose
         th = _normalize_angle(mr[2] - orp[2])
         c, s = np.cos(th), np.sin(th)

@@ -210,6 +210,15 @@ class ScanServer:
                          "id": req.get("id")},
                         (req.get("id"), odom, res.pose_future,
                          res.score_future))
+            if windowed and not res.accepted:
+                # Motion-gated scan in a windowed stream: replying through
+                # map_to_odom() below would _drain_all() and stall the whole
+                # in-flight pipeline once per gated scan — at sensor rate
+                # (most scans gated) that collapses windowed throughput back
+                # to sync speed.  A rejected scan needs no pose; ack without
+                # touching the pipeline.
+                return ({"ok": True, "accepted": False,
+                         "id": req.get("id")}, None)
             # Synchronous reply: map_to_odom() forces a full drain, so with
             # pipelined mapping the exact estimate is prev_robot_pose here.
             tf = self.mapper.map_to_odom()

@@ -68,7 +68,12 @@ def candidate_scores_grouped(config: ScanMatcherConfig,
     A_pad = -(-A // G) * G
 
     # Beam world positions for EVERY angle (cheap dense math, no gather).
-    th = pose[2] + jnp.pad(dths, (0, A_pad - A))
+    # Pad with the LAST real angle, not zero: the group reference is the
+    # min beam position over the group, and a zero-padded dth=0 in the
+    # tail group would pull the reference toward the lattice center,
+    # breaking the 3x3-patch coverage bound for the real tail angles
+    # whenever group does not divide num_angles.
+    th = pose[2] + jnp.pad(dths, (0, A_pad - A), mode="edge")
     c, s = jnp.cos(th)[:, None], jnp.sin(th)[:, None]
     px, py = spts[:, 0][None, :], spts[:, 1][None, :]
     bx = c * px - s * py + pose[0]                         # [A_pad, B]

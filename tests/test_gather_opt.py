@@ -35,8 +35,12 @@ def _setup(grid_cells=96, n_beams=240, range_max=10.0):
 
 
 class TestGroupedGather:
-    @pytest.mark.parametrize("group", [1, 4, 8])
+    @pytest.mark.parametrize("group", [1, 3, 4, 7, 8])
     def test_matches_local_path(self, group):
+        # 3 and 7 do NOT divide the default 80 angles: the padded tail
+        # group must pad dths with the edge angle, not zero (a zero pad
+        # pulled the group's min-position reference toward the lattice
+        # center and silently mis-scored the real tail angles).
         cfg, grid, qp, qm, range_max = _setup()
         assert group <= gather_opt.max_group(cfg, range_max)
         spts, smask, _ = matcher.subsample(

@@ -401,6 +401,30 @@ class TestPipelinedMapping:
     """config.max_inflight > 0: device-resident pose chain + async drains
     (matcher.mapping_step_async) must reproduce the synchronous path."""
 
+    def test_map_to_odom_undrained_consistent(self):
+        """map_to_odom(drain=False) mid-pipeline must pair pose estimates
+        consistently (review finding r2: prev_robot@t-k composed with
+        odom@t was corrupted by the in-flight window's motion)."""
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(30)
+        odom = sim.drift_odometry(truth, trans_noise=0.005, rot_noise=0.001,
+                                  seed=7)
+        cfg = dataclasses.replace(CFG, max_inflight=8)
+        mapper = Mapper(cfg)
+        for t in range(len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=12.0, noise=0.01,
+                                   rng=np.random.default_rng(t))
+            mapper.process_scan(msg, odom[t])
+        assert mapper._pending  # genuinely mid-pipeline
+        tf_fast = mapper.map_to_odom(drain=False)
+        tf_exact = mapper.map_to_odom()  # drains
+        # The undrained estimate differs only by the <= max_inflight scans
+        # of unapplied match corrections (cm scale), NOT by the robot's
+        # travel over the window (~0.5 m/scan here).
+        assert float(np.hypot(*(tf_fast[:2] - tf_exact[:2]))) < 0.25, (
+            tf_fast, tf_exact)
+
     def test_matches_synchronous_path(self):
         world = sim.make_corridor_world(40.0, 3.0)
         truth = corridor_trajectory(40)

@@ -403,3 +403,43 @@ class TestRecovery:
         err_lost = float(np.hypot(*(lost[:2] - kidnapped[:2])))
         assert err_rec < 2.0, (err_rec, recovered)
         assert err_lost > 8.0, (err_lost, lost)
+
+    def test_granular_path_injects(self):
+        """The granular update/measure/resample sequence (the mesh-mode PF
+        path in mapping/mapper.py) performs the same free-space injection as
+        the fused pf_step_recovery — review finding r3: mesh mode silently
+        bypassed recovery."""
+        from ndt_2d_tpu.config import ParticleFilterConfig
+        from ndt_2d_tpu.filter.particle_filter import ParticleFilter
+        world, m, free = self._world_fixture()
+        pts, msk = self._scan(world, [6.0, 6.5, 0.0], 13)
+        cfg = ParticleFilterConfig(min_particles=200, max_particles=512,
+                                   recovery_alpha_slow=1e-4,
+                                   recovery_alpha_fast=1e-4)
+        f = ParticleFilter(cfg, seed=4)
+        f.init(6.0, 6.5, 0.0, 0.05, 0.05, 0.02)
+        f.set_free_space(jnp.asarray(free, jnp.float32), 0.5)
+        # Collapsed short-term quality (w_fast << w_slow): p_inject ~ 0.95.
+        # Tiny alphas keep measure()'s EWMA update from moving them.
+        f.w_slow = jnp.float32(1.0)
+        f.w_fast = jnp.float32(0.05)
+        f.update(0.0, 0.0, 0.0)
+        f.measure(m, jnp.asarray(pts), jnp.asarray(msk),
+                  jnp.int32(int(msk.sum())))
+        f.resample()
+        p = np.asarray(f.particles)
+        n = f.n_active
+        far = np.hypot(p[:n, 0] - 6.0, p[:n, 1] - 6.5) > 1.0
+        assert far.mean() > 0.5, far.mean()
+        # Without recovery armed the same sequence stays clustered.
+        f2 = ParticleFilter(ParticleFilterConfig(min_particles=200,
+                                                 max_particles=512), seed=4)
+        f2.init(6.0, 6.5, 0.0, 0.05, 0.05, 0.02)
+        f2.update(0.0, 0.0, 0.0)
+        f2.measure(m, jnp.asarray(pts), jnp.asarray(msk),
+                   jnp.int32(int(msk.sum())))
+        f2.resample()
+        p2 = np.asarray(f2.particles)
+        n2 = f2.n_active
+        far2 = np.hypot(p2[:n2, 0] - 6.0, p2[:n2, 1] - 6.5) > 1.0
+        assert far2.mean() < 0.05, far2.mean()

@@ -152,6 +152,44 @@ class TestWindowedProtocol:
         got = np.asarray([results[i]["pose"] for i in ids])
         np.testing.assert_allclose(got, graph_tail, atol=1e-5)
 
+    def test_windowed_gated_scan_does_not_drain(self, live_pipelined):
+        """A motion-gated scan in a windowed stream must ack without
+        draining the in-flight pipeline (review finding r6: the rejected
+        scan's reply went through map_to_odom() -> _drain_all(), collapsing
+        windowed throughput to sync speed at sensor rate)."""
+        mapper, srv, sock, pub = live_pipelined
+        bag = bag_mod.record_synthetic("box", 8, n_beams=240, seed=4)
+
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(sock)
+            f = s.makefile("rwb")
+
+            def send(t, odom):
+                msg, _ = bag[t]
+                f.write(json.dumps({
+                    "id": t, "windowed": True,
+                    "ranges": msg.ranges.astype(float).tolist(),
+                    "angle_min": msg.angle_min,
+                    "angle_increment": msg.angle_increment,
+                    "time_increment": msg.time_increment,
+                    "range_max": msg.range_max,
+                    "odom": list(map(float, odom)),
+                }).encode() + b"\n")
+                f.flush()
+                while True:
+                    line = json.loads(f.readline())
+                    if "result" not in line:
+                        return line
+            for t in range(6):
+                send(t, bag.odom[t])
+            assert mapper._pending  # pipeline in flight
+            pending_before = len(mapper._pending)
+            # repeat the last odometry: motion-gated scan
+            rep = send(5, bag.odom[5])
+            assert rep["ok"] and rep["accepted"] is False
+            assert "map_to_odom" not in rep
+            assert len(mapper._pending) == pending_before  # NOT drained
+
     def test_state_json_publishes_unconditionally(self, live_pipelined):
         """map->odom state must refresh on the cadence even with NO map
         update (reference broadcasts TF every 250 ms regardless,
