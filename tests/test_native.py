@@ -48,6 +48,52 @@ class TestBaselineMatcher:
                                    atol=1e-6)
 
 
+class TestReferencePipelineIndexing:
+    """Regression for the round-3 bag-vs-keyframe indexing bug.
+
+    The oracle arm (native/reference_pipeline.cpp) keeps keyframe poses in a
+    compacted array but its points/mask buffers are BAG-indexed; match_scan
+    must translate keyframe index -> bag index via `ids` before gathering a
+    window scan's points.  The pre-fix code indexed points by KEYFRAME index,
+    so whenever the motion gate skipped scans (accepted < scans_in) every
+    rolling-window NDT was built from the wrong scans' points and the
+    open-loop trajectory diverged wildly.  This test runs a bag where the
+    gate rejects roughly half the scans and pins the open-loop trajectory to
+    ground truth.
+    """
+
+    def test_gated_open_loop_tracks_truth(self):
+        from ndt_2d_tpu.config import MapperConfig
+        from ndt_2d_tpu.io import bag as bag_mod
+        from ndt_2d_tpu.mapping import laser
+        from ndt_2d_tpu.utils import metrics
+
+        n = 90
+        bag = bag_mod.record_synthetic("corridor", n, n_beams=240, seed=3)
+        cfg = MapperConfig(
+            local_scan_matcher=MCFG, global_scan_matcher=MCFG,
+            max_points_per_scan=256,
+            minimum_travel_distance=0.9,     # corridor step ~0.4 m => skips
+            loop_closure_every=10**9)        # open loop
+        pts, msks = [], []
+        for t in range(n):
+            msg, _ = bag[t]
+            p, m = laser.project_scan(msg, bag.range_max, np.zeros(3), False,
+                                      np.zeros(3), cfg.max_points_per_scan)
+            pts.append(p)
+            msks.append(m)
+        poses, ids, ncl, _ = native.reference_slam(
+            np.stack(pts), np.stack(msks), bag.odom, bag.range_max, cfg)
+        assert ncl == 0
+        # The gate must actually skip scans, or keyframe and bag indexings
+        # coincide and this test proves nothing.
+        assert 10 < len(poses) < n
+        assert not np.array_equal(ids, np.arange(len(poses)))
+        ate = metrics.ate_rmse(poses, bag.truth[ids])
+        assert ate < 0.3, f"open-loop ATE {ate:.3f} m: window NDTs likely " \
+                          "built from wrong scans' points (bag-index bug)"
+
+
 class TestGraphCodec:
     def test_roundtrip(self, tmp_path):
         from ndt_2d_tpu.graph.pose_graph import Graph
