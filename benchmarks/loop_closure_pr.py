@@ -88,7 +88,11 @@ def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
 
 
 def run_office(loop_search: str, gate_scale: float, min_sim: float,
-               odom_scale: float, n: int):
+               odom_scale: float, n: int, recipe: dict = None,
+               gm: dict = None):
+    """``recipe``: extra MapperConfig overrides (e.g. region size);
+    ``gm``: extra global-matcher overrides (e.g. overlapping grids /
+    Newton refinement)."""
     from ndt_2d_tpu.config import ScanMatcherConfig, SolverConfig
     from ndt_2d_tpu.io import bag as bag_mod
     from ndt_2d_tpu.mapping.mapper import Mapper
@@ -100,7 +104,7 @@ def run_office(loop_search: str, gate_scale: float, min_sim: float,
     global_mcfg = ScanMatcherConfig(
         ndt_resolution=0.35, search_linear_size=0.15,
         search_linear_resolution=0.01, search_angular_size=0.05,
-        grid_cells_x=160, grid_cells_y=160)
+        grid_cells_x=160, grid_cells_y=160, **(gm or {}))
     mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
     from ndt_2d_tpu.config import MapperConfig
     cfg = MapperConfig(
@@ -110,7 +114,8 @@ def run_office(loop_search: str, gate_scale: float, min_sim: float,
         minimum_travel_distance=0.3, max_inflight=8,
         loop_search=loop_search, descriptor_min_similarity=min_sim,
         loop_closure_gate_scale=gate_scale,
-        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
+        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"),
+        **(recipe or {}))
     mapper = Mapper(cfg)
     used_truth = []
     t0 = time.perf_counter()
@@ -132,7 +137,8 @@ def run_office(loop_search: str, gate_scale: float, min_sim: float,
     return row
 
 
-def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None):
+def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None,
+               recipe: dict = None, gm: dict = None):
     from ndt_2d_tpu.config import (MapperConfig, ScanMatcherConfig,
                                    SolverConfig)
     from ndt_2d_tpu.io import carmen
@@ -148,7 +154,7 @@ def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None):
     global_mcfg = ScanMatcherConfig(
         ndt_resolution=0.35, search_linear_size=0.15,
         search_linear_resolution=0.01, search_angular_size=0.05,
-        grid_cells_x=160, grid_cells_y=160)
+        grid_cells_x=160, grid_cells_y=160, **(gm or {}))
     mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
     cfg = MapperConfig(
         local_scan_matcher=mcfg, global_scan_matcher=global_mcfg,
@@ -157,7 +163,8 @@ def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None):
         minimum_travel_distance=0.3, max_range=10.0, max_inflight=8,
         loop_search=loop_search, descriptor_min_similarity=min_sim,
         loop_closure_gate_scale=gate_scale,
-        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
+        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"),
+        **(recipe or {}))
     mapper = Mapper(cfg)
     used_truth = []
     t0 = time.perf_counter()
@@ -184,7 +191,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--scenario", default="all",
-                    choices=["office", "office_drift", "simlab", "all"])
+                    choices=["office", "office_drift", "simlab", "all",
+                             "round4"])
     args = ap.parse_args(argv)
 
     from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
@@ -220,6 +228,42 @@ def main(argv=None) -> int:
         for gate in (0.85, 1.0, 1.15):
             add("simlab", "radius", gate, None,
                 run_simlab(gate, "radius", 0.95, n_simlab))
+
+    if args.scenario == "round4":
+        # VERDICT r3 #3-#6: region-3 confirmation windows, Newton-polished
+        # overlapping-grid global matcher, the "both" candidate union, and
+        # the drift case — swept against the round-3 shipped recipe.
+        R3 = {"loop_closure_region_size": 3}
+        NEWTON = {"refine_iterations": 8}
+        OVER = {"overlapping_grids": True, "refine_iterations": 8}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for recipe_name, recipe, gm in (
+                ("region3", R3, None),
+                ("region3+newton", R3, NEWTON),
+                ("region3+overlap+newton", R3, OVER)):
+            tag("office", "radius", 0.85, None,
+                run_office("radius", 0.85, 0.95, 1.0, n_office,
+                           recipe=recipe, gm=gm), recipe=recipe_name)
+        tag("office", "both", 0.85, 0.90,
+            run_office("both", 0.85, 0.90, 1.0, n_office, recipe=R3),
+            recipe="region3")
+        for mode, sim_t in (("radius", None), ("descriptor", 0.90),
+                            ("both", 0.90)):
+            tag("office_drift", mode, 1.0, sim_t,
+                run_office(mode, 1.0, sim_t or 0.95, 3.0, n_office,
+                           recipe=R3), recipe="region3")
+        tag("simlab", "radius", 0.85, None,
+            run_simlab(0.85, "radius", 0.95, n_simlab, recipe=R3),
+            recipe="region3")
+        tag("simlab", "both", 0.85, 0.90,
+            run_simlab(0.85, "both", 0.90, n_simlab, recipe=R3),
+            recipe="region3")
 
     existing = []
     if os.path.exists(RESULTS):

@@ -104,7 +104,7 @@ def _mapper_config(args):
     for f in ("rolling_depth", "global_search_limit",
               "optimization_node_limit", "loop_closure_every",
               "max_points_per_scan", "loop_search", "scan_matcher_type",
-              "max_inflight"):
+              "max_inflight", "loop_closure_region_size"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -147,7 +147,15 @@ def _run_session(args, localize: bool) -> int:
     if localize:
         cfg = dataclasses.replace(cfg, enable_mapping=False)
     mesh = None
-    if getattr(args, "mesh", None):
+    if getattr(args, "distributed", False):
+        # Multi-process mesh: join the jax.distributed runtime (coordinator
+        # etc. from NDT2D_DIST_* env vars) and span ALL processes' devices.
+        from ndt_2d_tpu.parallel import distributed, mesh as mesh_mod
+        distributed.initialize()
+        import jax
+        mesh = mesh_mod.make_mesh(getattr(args, "mesh", None)
+                                  or jax.device_count())
+    elif getattr(args, "mesh", None):
         from ndt_2d_tpu.parallel import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.mesh)
     if getattr(args, "resume", None):
@@ -436,10 +444,16 @@ def main(argv=None) -> int:
                             "over the map's free space instead of an initial "
                             "pose (requires --particle-filter)")
         p.add_argument("--no-mapping", action="store_true")
-        p.add_argument("--loop-search", choices=["radius", "descriptor"],
+        p.add_argument("--loop-search",
+                       choices=["radius", "descriptor", "both"],
                        default=None, dest="loop_search",
                        help="loop-closure candidate source (default radius; "
-                            "descriptor = drift-robust appearance search)")
+                            "descriptor = drift-robust appearance search; "
+                            "both = deduped union of the two)")
+        p.add_argument("--loop-closure-region-size", type=int, default=None,
+                       dest="loop_closure_region_size", metavar="S",
+                       help="scans per candidate confirmation region "
+                            "(2 = reference parity, 3 = one either side)")
         p.add_argument("--scan-matcher-type", default=None,
                        dest="scan_matcher_type",
                        help="matcher plugin (ndt_mapper.cpp:91-92): ndt, "
@@ -484,6 +498,12 @@ def main(argv=None) -> int:
                             "loop-closure candidate windows + pose-graph "
                             "constraints over 'batch', occupancy rays over "
                             "the whole mesh (parallel.runtime)")
+        p.add_argument("--distributed", action="store_true",
+                       help="join the jax.distributed multi-process runtime "
+                            "(coordinator/process id from NDT2D_DIST_COORD/"
+                            "_NPROC/_PID env vars; launch one identical "
+                            "process per host) and mesh over every "
+                            "process's devices; implies --mesh <all>")
         _add_matcher_args(p, "local_scan_matcher")
         _add_matcher_args(p, "global_scan_matcher")
         _add_pf_args(p)

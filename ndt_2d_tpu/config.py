@@ -233,8 +233,20 @@ class MapperConfig:
     # (Graph::findNearest parity, graph.cpp:167-189); "descriptor" =
     # appearance-based cosine correlation over rotation-invariant keyframe
     # descriptors (ndt_2d_tpu.parallel.loop_search) — drift-robust and the
-    # basis of the sharded all-to-all search at district scale.
+    # basis of the sharded all-to-all search at district scale; "both" =
+    # the deduped union of the two per query (radius proposals first), one
+    # confirmation pass — radius recall when drift is small, descriptor
+    # reach when it isn't.
     loop_search: str = "radius"
+
+    # Scans per loop-closure candidate region (the NDT the query is matched
+    # against).  2 = exact reference parity: its comment says "one
+    # additional scan on either side" but its exclusive end bound yields
+    # {i-1, i} (ndt_mapper.cpp:627-631).  3 = the stated intent
+    # {i-1, i, i+1}; larger regions build denser confirmation NDTs
+    # (measured: 3 lifts office confirmation precision/recall — see
+    # BASELINE.md round 4 and benchmarks/lc_pr_results.json).
+    loop_closure_region_size: int = 2
     descriptor_bins: int = 32
     # Tuned on the 3x-drift office recall benchmark (benchmarks/
     # loop_closure_pr.py, lc_pr_results.json): with DC-free ring

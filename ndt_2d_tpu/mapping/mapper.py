@@ -95,12 +95,25 @@ class Mapper:
             whole mesh.  Host-side orchestration (gates, constraints,
             cadences) is identical to the single-device runtime, so the
             decisions — and on exact-reduction paths, the bits — match it.
-            Mesh mode runs the device steps synchronously (max_inflight is
-            ignored): the sharded dispatches are the throughput story, not
-            host<->device overlap.
+            max_inflight composes with a single-process mesh (the pipelined
+            pose chain dispatches the angle-sharded
+            runtime.mapping_step_async_multichip); a MULTI-PROCESS mesh
+            runs the device steps synchronously — its inputs must stay
+            host-side (process-replicated numpy), which precludes the
+            device-resident chain.
         """
         self.config = config
         self.mesh = mesh
+        # Multi-process mesh (jax.distributed): device inputs must be host
+        # numpy (process-replicated) rather than committed single-device jnp
+        # arrays, and mesh-sharded outputs fetch via process_allgather.  See
+        # parallel/distributed.py for the process model.
+        if mesh is not None:
+            from ndt_2d_tpu.parallel import distributed
+            self._mp = distributed.is_multiprocess(mesh)
+        else:
+            self._mp = False
+        self._host_grid_cache = None
         self.enable_mapping = config.enable_mapping
         self.use_particle_filter = config.use_particle_filter
         self.range_max = config.max_range
@@ -213,7 +226,7 @@ class Mapper:
                 "matcher while mapping; this was measured to worsen "
                 "trajectory ATE. Prefer refinement on the global matcher "
                 "only (localization / loop-closure confirmation).")
-        if self.config.loop_search == "descriptor":
+        if self.config.loop_search in ("descriptor", "both"):
             self.coarse_matcher = registry.create(
                 mtype, self.config.coarse_scan_matcher, self.range_max)
         else:
@@ -376,6 +389,19 @@ class Mapper:
                                               mask, num_points)
 
     # ------------------------------------------------------------------
+    def _mesh_grid(self, m):
+        """Global-matcher grid as a mesh-program input.  Single-process: the
+        device-resident grid pytree.  Multi-process: the grid was built by a
+        process-local jit, so fetch it to host once (cached until the matcher
+        rebuilds it) and feed it replicated."""
+        if not self._mp:
+            return m.grid
+        import jax
+        if (self._host_grid_cache is None
+                or self._host_grid_cache[0] is not m.grid):
+            self._host_grid_cache = (m.grid, jax.device_get(m.grid))
+        return self._host_grid_cache[1]
+
     def _sync_window(self):
         """(Re)build the device rolling window from the graph tail.
 
@@ -400,9 +426,13 @@ class Mapper:
             pts[depth - n:] = g.points[start:]
             pmask[depth - n:] = g.point_mask[start:]
             wmask[depth - n:] = True
-        self._window = matcher_mod.RollingWindow(
-            jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
-            jnp.asarray(wmask))
+        if self._mp:
+            # Multi-process: host arrays feed the mesh jit replicated.
+            self._window = matcher_mod.RollingWindow(poses, pts, pmask, wmask)
+        else:
+            self._window = matcher_mod.RollingWindow(
+                jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
+                jnp.asarray(wmask))
         self._window_poses_host = poses
         self._window_mask_host = wmask
         self._window_synced = g.num_scans
@@ -437,7 +467,7 @@ class Mapper:
         from ndt_2d_tpu.matching import matcher as matcher_mod
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
         if (self.config.max_inflight > 0 and self.graph.num_scans
-                and self.mesh is None
+                and not self._mp
                 and isinstance(self.local_matcher, NDTScanMatcher)):
             # NOTE: robot_pose was dead-reckoned from the host pose mirror,
             # which is stale while results are in flight; the pipelined path
@@ -453,9 +483,14 @@ class Mapper:
         pose = robot_pose.copy()
 
         # One host->device transfer of the new scan, reused by both the
-        # match and the window append.
-        dev_points = jnp.asarray(points, jnp.float32)
-        dev_mask = jnp.asarray(mask)
+        # match and the window append.  (Multi-process: stays host numpy —
+        # replicated input to the mesh program.)
+        if self._mp:
+            dev_points = np.asarray(points, np.float32)
+            dev_mask = np.asarray(mask)
+        else:
+            dev_points = jnp.asarray(points, jnp.float32)
+            dev_mask = jnp.asarray(mask)
 
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
         fused = isinstance(self.local_matcher, NDTScanMatcher)
@@ -469,7 +504,8 @@ class Mapper:
             window = self._sync_window()
             self._check_window_capacity()
             if self._range_max_dev is None:
-                self._range_max_dev = jnp.float32(self.range_max)
+                self._range_max_dev = (np.float32(self.range_max) if self._mp
+                                       else jnp.float32(self.range_max))
             with self.stats.timer.section("local_match"):
                 if fused and self.mesh is not None:
                     # Mesh mode: the candidate search's angle axis shards
@@ -478,8 +514,8 @@ class Mapper:
                     out = runtime.match_scan_rolling_multichip(
                         self.local_matcher.config, self.mesh, window,
                         self._range_max_dev, dev_points, dev_mask,
-                        jnp.int32(num_points),
-                        jnp.asarray(pose, jnp.float32))
+                        np.int32(num_points),
+                        np.asarray(pose, np.float32))
                 elif fused:
                     # Instance config, not config.local_scan_matcher: the
                     # registry factory may have adjusted it (e.g. ndt_newton
@@ -516,8 +552,13 @@ class Mapper:
             pose_graph.make_constraint_np(g, scan_id - 1, scan_id, covariance)
 
         # Append the corrected scan to the device window (steady-state path:
-        # the only per-scan transfer is the new scan itself).
-        if self._window is None or self._window_synced != g.num_scans - 1:
+        # the only per-scan transfer is the new scan itself).  Multi-process
+        # keeps the window host-side, so it rebuilds from the graph tail
+        # (the transfer happens at dispatch either way).
+        if self._mp:
+            self._window_synced = -1
+            self._sync_window()
+        elif self._window is None or self._window_synced != g.num_scans - 1:
             self._window_synced = -1
             self._sync_window()
         else:
@@ -601,10 +642,23 @@ class Mapper:
         dev_points = jnp.asarray(points, jnp.float32)
         dev_mask = jnp.asarray(mask)
         with self.stats.timer.section("local_match"):
-            self._window, self._pose_dev, out = matcher_mod.mapping_step_async(
-                self.local_matcher.config, self._window, self._pose_dev,
-                self._range_max_dev, dev_points, dev_mask,
-                jnp.int32(num_points), jnp.asarray(delta, jnp.float32))
+            if self.mesh is not None:
+                # Mesh x pipelining: same device-resident chain, candidate
+                # search angle-sharded (runtime.mapping_step_async_multichip).
+                from ndt_2d_tpu.parallel import runtime
+                self._window, self._pose_dev, out = \
+                    runtime.mapping_step_async_multichip(
+                        self.local_matcher.config, self.mesh, self._window,
+                        self._pose_dev, self._range_max_dev, dev_points,
+                        dev_mask, jnp.int32(num_points),
+                        jnp.asarray(delta, jnp.float32))
+            else:
+                self._window, self._pose_dev, out = \
+                    matcher_mod.mapping_step_async(
+                        self.local_matcher.config, self._window,
+                        self._pose_dev, self._range_max_dev, dev_points,
+                        dev_mask, jnp.int32(num_points),
+                        jnp.asarray(delta, jnp.float32))
             # Start the device->host copies NOW, while the host moves on to
             # the next scan: without this, the drain's device_get pays a
             # full synchronous pull round trip per scan (~27 ms through
@@ -709,12 +763,13 @@ class Mapper:
                 and m.grid is not None):
             from ndt_2d_tpu.parallel import runtime
             self._drain_all()
+            grid = self._mesh_grid(m)
             with self.stats.timer.section("global_match"):
                 out = runtime.match_scan_global_multichip(
-                    m.config, self.mesh, m.grid,
-                    jnp.asarray(points, jnp.float32), jnp.asarray(mask),
-                    jnp.int32(num_points),
-                    jnp.asarray(robot_pose, jnp.float32))
+                    m.config, self.mesh, grid,
+                    np.asarray(points, np.float32), np.asarray(mask),
+                    np.int32(num_points),
+                    np.asarray(robot_pose, np.float32))
                 unc, score, corr, _ = jax.device_get(out)
             correction = np.asarray(corr, np.float64)
             pose = robot_pose + correction
@@ -789,12 +844,15 @@ class Mapper:
                 f.set_free_space(*fs)
                 logger.info("PF recovery armed: %d free cells", len(fs[0]))
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
-        if (self.mesh is not None
+        if (self.mesh is not None and not self._mp
                 and isinstance(self.global_matcher, NDTScanMatcher)
                 and self.global_matcher.grid is not None):
             # Mesh mode: reference-shaped update/measure/resample sequence
             # with the MEASUREMENT (the PF's compute bulk) particle-sharded
             # over the 'batch' axis (parallel.filter.measure_multichip).
+            # (Multi-process runs the PF process-locally instead: its state
+            # chain is device-resident and seeded, so every process computes
+            # the identical filter — redundant but replicated-correct.)
             self._drain_all()
             delta = robot_pose[:2] - self.prev_robot_pose[:2]
             c = np.cos(-self.prev_robot_pose[2])
@@ -865,7 +923,7 @@ class Mapper:
         added = 0
         desc_table = desc_valid = None
         self._desc_topk = None
-        if self.config.loop_search == "descriptor" and num_scans:
+        if self.config.loop_search in ("descriptor", "both") and num_scans:
             # Appearance-based candidates: batched rotation-invariant
             # descriptors + cosine top-k (ndt_2d_tpu.parallel.loop_search).
             # Computed over the graph's padded capacity buffers so the jit
@@ -887,7 +945,11 @@ class Mapper:
                 idx_t, score_t = loop_search.search_all_pairs_multichip(
                     self.mesh, dp, vp, k=self.config.global_search_limit,
                     rolling_exclude=self.config.rolling_depth + 1)
-                self._desc_topk = (np.asarray(idx_t), np.asarray(score_t))
+                # Outputs are query-sharded over the mesh; fetch handles the
+                # multi-process allgather (plain device_get otherwise).
+                from ndt_2d_tpu.parallel import distributed
+                self._desc_topk = tuple(
+                    np.asarray(x) for x in distributed.fetch((idx_t, score_t)))
         if self._fused_confirmation_available() and \
                 self.config.pipeline_loop_closure:
             added = self._loop_closure_pass_pipelined(num_scans, desc_table,
@@ -947,8 +1009,17 @@ class Mapper:
         ndt_mapper.cpp:619,665-668 — equivalent here because candidates that
         would be skipped never enter the list)."""
         g = self.graph
+        mode = self.config.loop_search
+        limit = self.config.global_search_limit
         rolling = idx - self.config.rolling_depth
-        if desc_table is not None:
+        out = []
+        if mode in ("radius", "both"):
+            query = (g.barycenters()[idx] if g.use_barycenter
+                     else g.poses[idx, :2])
+            near = g.find_nearest(query, self.config.global_search_size,
+                                  rolling)
+            out = [int(i) for i in near if g.point_mask[int(i)].any()][:limit]
+        if mode in ("descriptor", "both") and desc_table is not None:
             from ndt_2d_tpu.parallel import loop_search
             # Exclude i >= idx - depth: findNearest's limit_scan_index
             # semantics (graph.cpp:181, candidates strictly below the
@@ -958,45 +1029,69 @@ class Mapper:
                 cand_sim = self._desc_topk[1][idx]
             else:
                 cand_idx, cand_sim = loop_search.search_dense(
-                    desc_table, desc_valid, idx,
-                    k=self.config.global_search_limit,
+                    desc_table, desc_valid, idx, k=limit,
                     rolling_exclude=self.config.rolling_depth + 1)
             cand_idx = np.asarray(cand_idx)
             cand_sim = np.asarray(cand_sim)
             keep = (np.isfinite(cand_sim)
                     & (cand_sim >= self.config.descriptor_min_similarity))
-            candidates = cand_idx[keep]
-        else:
-            query = (g.barycenters()[idx] if g.use_barycenter
-                     else g.poses[idx, :2])
-            candidates = g.find_nearest(
-                query, self.config.global_search_size, rolling)
-        out = [int(i) for i in candidates if g.point_mask[int(i)].any()]
-        out = out[:self.config.global_search_limit]
+            desc_out = [int(i) for i in cand_idx[keep]
+                        if g.point_mask[int(i)].any()][:limit]
+            # "both": union, radius proposals first (they carry the precise
+            # start pose), descriptor extras deduped after — one combined
+            # confirmation pass handles all of them.
+            out.extend(i for i in desc_out if i not in out)
         self.lc_log["candidates"].append((idx, tuple(out)))
         return out
 
     def _candidate_window(self, i: int, rolling: int):
-        """The candidate's 2-slot scan region (ndt_mapper.cpp:627-631).
+        """The candidate's S-slot scan region around scan ``i``
+        (ndt_mapper.cpp:627-631), S = config.loop_closure_region_size.
 
         NOTE the reference's comment says "one additional scan on either
         side" but its code uses end_idx as an EXCLUSIVE iterator bound, so
-        the region is [i-1, i+1) = {i-1, i} — at most 2 scans.  We reproduce
-        that exactly (padded to a fixed 2-slot window so the build kernel
-        compiles once)."""
+        its region is [i-1, i+1) = {i-1, i} — at most 2 scans.  S=2 (the
+        default) reproduces that exactly; S=3 realizes the stated intent
+        {i-1, i, i+1}.  The region never reaches into the query's rolling
+        window (indices >= ``rolling``), and is padded to a fixed S slots so
+        the build kernel compiles once."""
         g = self.graph
-        begin_idx = i - 1 if i > 0 else i
-        end_idx = i + 1 if i < rolling else i
-        k = end_idx - begin_idx
-        poses2 = np.zeros((2, 3), np.float32)
-        pts2 = np.zeros((2, g.max_points, 2), np.float32)
-        pmask2 = np.zeros((2, g.max_points), bool)
-        wmask2 = np.zeros(2, bool)
+        S = self.config.loop_closure_region_size
+        begin_idx = max(i - S // 2, 0)
+        end_idx = max(min(i + (S - S // 2), rolling), i + 1)
+        k = min(end_idx - begin_idx, S)
+        end_idx = begin_idx + k
+        poses2 = np.zeros((S, 3), np.float32)
+        pts2 = np.zeros((S, g.max_points, 2), np.float32)
+        pmask2 = np.zeros((S, g.max_points), bool)
+        wmask2 = np.zeros(S, bool)
         poses2[:k] = g.poses[begin_idx:end_idx].astype(np.float32)
         pts2[:k] = g.points[begin_idx:end_idx]
         pmask2[:k] = g.point_mask[begin_idx:end_idx]
         wmask2[:k] = True
         return poses2, pts2, pmask2, wmask2
+
+    def _candidate_start(self, idx: int, i: int, descriptor: bool):
+        """(start pose, wants_coarse) for candidate ``i`` of query ``idx``.
+
+        Radius candidates (and descriptor candidates the pose estimate
+        already places within the radius-search reach) start at the query's
+        own pose — the best drift-consistent estimate — and go straight to
+        the fine lattice.  Far descriptor candidates carry unknown odometry
+        drift: they start at the CANDIDATE's position (keeping the query's
+        heading) and get the wide coarse lattice first (ndt_mapper.cpp:643's
+        start is always the query pose because the reference only has
+        radius candidates)."""
+        g = self.graph
+        st = g.poses[idx].copy()
+        if descriptor:
+            d2 = float(np.sum((g.poses[i, :2] - st[:2]) ** 2))
+            # global_search_size is the radius search's SQUARED-distance
+            # bound (nanoflann semantics) — same scale as d2.
+            if d2 > self.config.global_search_size:
+                st[:2] = g.poses[i, :2]
+                return st, True
+        return st, False
 
     def _apply_gate(self, idx: int, i: int, start, score: float, correction,
                     covariance) -> bool:
@@ -1045,10 +1140,11 @@ class Mapper:
 
     def _loop_closure_pass_pipelined(self, num_scans: int, desc_table,
                                      desc_valid) -> int:
-        """Pipeline a whole loop-closure pass: dispatch the vmapped
-        confirmation for EVERY pending scan first (host copies issued at
-        dispatch time), then drain in scan order — one relay round-trip per
-        pass instead of one per candidate-bearing scan.
+        """Fuse a whole loop-closure pass into (at most) two dispatches:
+        every pending scan's (query, candidate) pairs batch through the
+        multi-query confirmation programs (match_scan_batch_multi /
+        _coarse_fine), then results drain in scan order — the per-dispatch
+        relay latency stops scaling with the pass size entirely.
 
         Decisions are identical to the per-scan path: each dispatch depends
         only on graph state, which rejections never touch; the first
@@ -1058,19 +1154,29 @@ class Mapper:
         tests/test_mapper_e2e.py::TestPipelinedLoopClosure."""
         added = 0
         while self.global_scans_processed < num_scans:
-            inflight = []
-            for j in range(self.global_scans_processed, num_scans):
-                with self.stats.timer.section("loop_closure"):
+            pending = []
+            rows = []
+            with self.stats.timer.section("loop_closure"):
+                for j in range(self.global_scans_processed, num_scans):
                     cands = self._loop_candidates(j, desc_table, desc_valid)
                     if cands:
-                        starts, out, desc = self._dispatch_confirm(j, cands)
-                        inflight.append((j, cands, starts, out, desc))
-            self.global_scans_processed = num_scans
-            for (j, cands, starts, out, desc) in inflight:
+                        pending.append((j, cands))
+                        rows.extend((j, i) for i in cands)
+                self.global_scans_processed = num_scans
+                if not rows:
+                    break
+                starts, segments = self._dispatch_confirm_rows(rows)
+                scores, corrs, covs, fstarts = self._fetch_rows(starts,
+                                                                segments)
+            off = 0
+            for (j, cands) in pending:
+                k = len(cands)
                 with self.stats.timer.section("loop_closure"):
-                    a, changed = self._drain_confirm(j, cands, starts, out,
-                                                     desc)
+                    a, changed = self._gate_rows(
+                        j, cands, fstarts[off:off + k], scores[off:off + k],
+                        corrs[off:off + k], covs[off:off + k])
                 added += a
+                off += k
                 if changed and j + 1 < num_scans:
                     # Everything dispatched after j saw the pre-acceptance
                     # graph; recompute candidates from the corrected state.
@@ -1097,14 +1203,12 @@ class Mapper:
             poses2, pts2, pmask2, wmask2 = self._candidate_window(i, rolling)
             self.global_matcher.reset()
             self.global_matcher.add_scans(poses2, pts2, pmask2, wmask2)
-            start = g.poses[idx].copy()
-            if self.coarse_matcher is not None:
-                # Descriptor candidates are drift-agnostic: coarse-to-fine
-                # confirmation.  Start at the candidate's position (keeping
-                # the query's heading) and run the wide coarse lattice, so
-                # the fine window below only has to cover the coarse
-                # quantization, not the odometry drift.
-                start[:2] = g.poses[i, :2]
+            start, wants_coarse = self._candidate_start(
+                idx, i, self.coarse_matcher is not None)
+            if wants_coarse:
+                # Far (drift-agnostic) candidates run coarse-to-fine: the
+                # wide coarse lattice absorbs the drift so the fine window
+                # below only has to cover the coarse quantization.
                 self.coarse_matcher.reset()
                 self.coarse_matcher.add_scans(poses2, pts2, pmask2, wmask2)
                 coarse = self.coarse_matcher.match_scan(
@@ -1120,8 +1224,8 @@ class Mapper:
 
     def _confirm_candidates_batched(self, idx: int, candidates: list) -> int:
         """TPU-shaped path: ALL candidate windows build + match as one
-        vmapped dispatch, fetched once (matching.matcher.match_scan_batch;
-        coarse-to-fine fuses into the same dispatch in descriptor mode).
+        vmapped dispatch (at most two: the near/fine segment and the
+        far/coarse-to-fine segment), fetched once.
 
         The reference's analog is K sequential rebuild+match rounds
         (ndt_mapper.cpp:623-663); here a whole confirmation pass costs one
@@ -1129,87 +1233,138 @@ class Mapper:
         preserved: if a mid-batch acceptance moves the scan pose, the
         remaining candidates re-match from the corrected pose (rare — one
         extra dispatch per acceptance)."""
-        starts, out, descriptor = self._dispatch_confirm(idx, candidates)
-        added, _ = self._drain_confirm(idx, candidates, starts, out,
-                                       descriptor)
+        starts, segments = self._dispatch_confirm(idx, candidates)
+        added, _ = self._drain_confirm(idx, candidates, starts, segments)
         return added
 
     def _dispatch_confirm(self, idx: int, candidates: list):
-        """Build + dispatch the vmapped confirmation of all ``candidates``
-        of scan ``idx``; host copies of the results are issued immediately so
-        a later drain pays only the (small) async-copy completion, not a full
-        synchronous device pull.  Returns (starts, device outputs,
-        descriptor-mode flag)."""
+        """Dispatch the confirmation of ``candidates`` of scan ``idx``.
+        Returns (starts [K, 3], segments) — see _dispatch_confirm_rows."""
+        return self._dispatch_confirm_rows([(idx, i) for i in candidates])
+
+    def _dispatch_confirm_rows(self, rows: list):
+        """Build + dispatch the vmapped confirmation of ``rows`` — a list
+        of (query_idx, candidate_i) pairs, possibly spanning MANY query
+        scans (a whole pipelined pass fuses into these dispatches).
+
+        Rows split by drift class: near rows (start within the radius-search
+        reach) run the fine lattice only; far descriptor rows run
+        coarse-to-fine.  One dispatch per non-empty segment (so at most 2
+        per pass); host copies are issued immediately so a later drain pays
+        only the async-copy completion.
+
+        Returns (starts [N, 3] float64, segments) where segments is a list
+        of (row_positions int array, device outputs, coarse flag).
+        """
         import jax
+
+        descriptor = self.coarse_matcher is not None
+        N = len(rows)
+        starts = np.zeros((N, 3), np.float64)
+        wants = np.zeros(N, bool)
+        for r, (q, i) in enumerate(rows):
+            starts[r], wants[r] = self._candidate_start(q, i, descriptor)
+        segments = []
+        for coarse in (False, True):
+            pos = np.nonzero(wants == coarse)[0]
+            if not len(pos):
+                continue
+            out = self._dispatch_rows_segment(
+                [rows[r] for r in pos], starts[pos], coarse)
+            if not self._mp:   # sharded outputs allgather at drain instead
+                for leaf in jax.tree_util.tree_leaves(out):
+                    leaf.copy_to_host_async()
+            segments.append((pos, out, coarse))
+        return starts, segments
+
+    def _dispatch_rows_segment(self, rows: list, starts, coarse: bool):
+        """One segment's device dispatch: padded multi-query batch through
+        the fine-only or coarse-to-fine program (single-device or mesh)."""
         import jax.numpy as jnp
 
         from ndt_2d_tpu.matching import matcher as matcher_mod
         g = self.graph
-        rolling = idx - self.config.rolling_depth
-        K = len(candidates)
+        K = len(rows)
         # Power-of-two bucket (min 4) keeps the jit signature set tiny.
         pad = max(4, 1 << (K - 1).bit_length())
         if self.mesh is not None:
-            # Candidate windows shard over the mesh 'batch' axis.
+            # Rows shard over the mesh 'batch' axis.
             from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
             nb = self.mesh.shape[BATCH_AXIS]
             pad = -(-pad // nb) * nb
-        poses = np.zeros((pad, 2, 3), np.float32)
-        pts = np.zeros((pad, 2, g.max_points, 2), np.float32)
-        pmask = np.zeros((pad, 2, g.max_points), bool)
-        wmask = np.zeros((pad, 2), bool)
-        starts = np.zeros((pad, 3), np.float64)
-        descriptor = self.coarse_matcher is not None
-        for j, i in enumerate(candidates):
+        S = self.config.loop_closure_region_size
+        poses = np.zeros((pad, S, 3), np.float32)
+        pts = np.zeros((pad, S, g.max_points, 2), np.float32)
+        pmask = np.zeros((pad, S, g.max_points), bool)
+        wmask = np.zeros((pad, S), bool)
+        qpts = np.zeros((pad, g.max_points, 2), np.float32)
+        qmask = np.zeros((pad, g.max_points), bool)
+        qnum = np.zeros(pad, np.int32)
+        st = np.zeros((pad, 3), np.float32)
+        for j, (q, i) in enumerate(rows):
+            rolling = q - self.config.rolling_depth
             poses[j], pts[j], pmask[j], wmask[j] = \
                 self._candidate_window(i, rolling)
-            st = g.poses[idx].copy()
-            if descriptor:
-                st[:2] = g.poses[i, :2]
-            starts[j] = st
+            qpts[j] = g.points[q]
+            qmask[j] = g.point_mask[q]
+            qnum[j] = int(g.point_mask[q].sum())
+            st[j] = starts[j]
 
-        self._check_batch_capacity(poses, wmask)
+        self._check_batch_capacity(poses, wmask, coarse)
 
-        n = int(g.point_mask[idx].sum())
-        qpts = jnp.asarray(g.points[idx], jnp.float32)
-        qmask = jnp.asarray(g.point_mask[idx])
-        args = (jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
-                jnp.asarray(wmask), jnp.float32(self.range_max), qpts, qmask,
-                jnp.int32(n), jnp.asarray(starts, jnp.float32))
+        if self._mp:
+            # Host inputs: process-replicated into the mesh program.
+            args = (poses, pts, pmask, wmask, np.float32(self.range_max),
+                    qpts, qmask, qnum, st)
+        else:
+            args = (jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(pmask),
+                    jnp.asarray(wmask), jnp.float32(self.range_max),
+                    jnp.asarray(qpts), jnp.asarray(qmask),
+                    jnp.asarray(qnum), jnp.asarray(st))
         if self.mesh is not None:
             from ndt_2d_tpu.parallel import runtime
-            if descriptor:
-                out = runtime.confirm_batch_coarse_fine_multichip(
+            if coarse:
+                return runtime.confirm_rows_coarse_fine_multichip(
                     self.coarse_matcher.config, self.global_matcher.config,
                     self.mesh, *args)
+            return runtime.confirm_rows_multichip(
+                self.global_matcher.config, self.mesh, *args)
+        if coarse:
+            return matcher_mod.match_scan_batch_multi_coarse_fine(
+                self.coarse_matcher.config, self.global_matcher.config,
+                *args)
+        return matcher_mod.match_scan_batch_multi(
+            self.global_matcher.config, *args)
+
+    def _fetch_rows(self, starts, segments):
+        """Materialize dispatched segments into per-row (scores, corrs,
+        covs, fine_starts) arrays in row order."""
+        from ndt_2d_tpu.parallel import distributed
+        N = len(starts)
+        scores = np.zeros(N)
+        corrs = np.zeros((N, 3))
+        covs = np.zeros((N, 3, 3))
+        fstarts = np.asarray(starts, np.float64).copy()
+        for pos, out, coarse in segments:
+            fetched = distributed.fetch(out)
+            if coarse:
+                fst, sc, co, cv = fetched
+                fstarts[pos] = np.asarray(fst, np.float64)[:len(pos)]
             else:
-                out = runtime.confirm_batch_multichip(
-                    self.global_matcher.config, self.mesh, *args)
-        elif descriptor:
-            out = matcher_mod.match_scan_batch_coarse_fine(
-                self.coarse_matcher.config, self.global_matcher.config, *args)
-        else:
-            out = matcher_mod.match_scan_batch(
-                self.global_matcher.config, *args)
-        for leaf in jax.tree_util.tree_leaves(out):
-            leaf.copy_to_host_async()
-        return starts, out, descriptor
+                sc, co, cv = fetched
+            scores[pos] = np.asarray(sc)[:len(pos)]
+            corrs[pos] = np.asarray(co)[:len(pos)]
+            covs[pos] = np.asarray(cv)[:len(pos)]
+        return scores, corrs, covs, fstarts
 
-    def _drain_confirm(self, idx: int, candidates: list, starts, out,
-                       descriptor: bool):
-        """Fetch a dispatched confirmation and apply the acceptance gates in
-        candidate order.  Returns (closures added, graph changed)."""
-        import jax
-        if descriptor:
-            fine_starts, scores, corrs, covs = jax.device_get(out)
-            starts = np.asarray(fine_starts, np.float64)
-        else:
-            scores, corrs, covs = jax.device_get(out)
-
+    def _gate_rows(self, idx: int, candidates: list, fstarts, scores, corrs,
+                   covs):
+        """Apply the acceptance gates for one query's candidates in order.
+        Returns (closures added, graph changed)."""
         K = len(candidates)
         added = 0
         for j, i in enumerate(candidates):
-            ok = self._apply_gate(idx, i, starts[j], float(scores[j]),
+            ok = self._apply_gate(idx, i, fstarts[j], float(scores[j]),
                                   corrs[j], covs[j])
             if ok:
                 added += 1
@@ -1222,11 +1377,17 @@ class Mapper:
                 return added, True
         return added, False
 
-    def _check_batch_capacity(self, poses, wmask) -> None:
+    def _drain_confirm(self, idx: int, candidates: list, starts, segments):
+        """Fetch a dispatched confirmation and apply the acceptance gates in
+        candidate order.  Returns (closures added, graph changed)."""
+        scores, corrs, covs, fstarts = self._fetch_rows(starts, segments)
+        return self._gate_rows(idx, candidates, fstarts, scores, corrs, covs)
+
+    def _check_batch_capacity(self, poses, wmask, coarse: bool) -> None:
         """Static-grid capacity check over all candidate windows (the same
         check NDTScanMatcher.add_scans runs per window)."""
         cfgs = [self.global_matcher.config]
-        if self.coarse_matcher is not None:
+        if coarse:
             cfgs.append(self.coarse_matcher.config)
         for w in range(poses.shape[0]):
             wp = poses[w][wmask[w]]

@@ -142,10 +142,12 @@ def render_occupancy(poses: np.ndarray, points: np.ndarray, mask: np.ndarray,
             starts = np.concatenate([starts, z])
             ends = np.concatenate([ends, z])
             bmask = np.concatenate([bmask, np.zeros(r_pad - r, bool)])
+        # Host-numpy inputs: replicated in multi-process mode, one transfer
+        # (same as jnp.asarray would pay) single-process.
         hit, empty = runtime.raymarch_counts_multichip(
-            mesh, jnp.asarray(starts, jnp.float32),
-            jnp.asarray(ends, jnp.float32), jnp.asarray(bmask),
-            jnp.asarray(origin, jnp.float32), jnp.float32(resolution),
+            mesh, np.asarray(starts, np.float32),
+            np.asarray(ends, np.float32), bmask,
+            np.asarray(origin, np.float32), np.float32(resolution),
             width, height, num_samples)
     else:
         hit, empty = _raymarch_counts(

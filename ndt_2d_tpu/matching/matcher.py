@@ -553,6 +553,60 @@ def match_scan_batch_coarse_fine(coarse_config: ScanMatcherConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def match_scan_batch_multi(config: ScanMatcherConfig, poses, points,
+                           point_mask, window_mask, range_max, query_points,
+                           query_mask, query_num, start_poses):
+    """match_scan_batch generalized to one query scan PER ROW.
+
+    A whole loop-closure pass confirms many pending query scans; batching
+    them into one dispatch (rows = every (query, candidate) pair of the
+    pass) replaces Q per-query dispatches with one device program — the
+    per-dispatch relay latency stops scaling with the pass size.
+
+    Args are match_scan_batch's plus per-row query arrays:
+      query_points [N, P, 2], query_mask [N, P], query_num [N].
+    Returns (scores [N], corrections [N, 3], covariances [N, 3, 3]); each
+    row's result is bitwise identical to the same row through
+    match_scan_batch (independent vmap lanes).
+    """
+    def one(p, pt, pm, wm, qp, qm, qn, st):
+        grid = build_window_ndt(config, p, pt, pm, wm, range_max)
+        return match_scan(config, grid, qp, qm, qn, st, range_max)
+    res = jax.vmap(one)(poses, points, point_mask, window_mask, query_points,
+                        query_mask, query_num, start_poses)
+    return res.score, res.correction, res.covariance
+
+
+@functools.partial(jax.jit, static_argnames=("coarse_config", "fine_config"))
+def match_scan_batch_multi_coarse_fine(coarse_config: ScanMatcherConfig,
+                                       fine_config: ScanMatcherConfig, poses,
+                                       points, point_mask, window_mask,
+                                       range_max, query_points, query_mask,
+                                       query_num, start_poses):
+    """Multi-query coarse-to-fine confirmation in one dispatch.
+
+    The far-candidate arm of a confirmation pass: every row's start pose
+    carries unknown odometry drift, so the wide coarse lattice aligns
+    first, then the fine match scores from the coarse-corrected start.
+    (Near rows — start already within the radius-search reach — go through
+    match_scan_batch_multi instead; the host splits the pass into the two
+    segments, so the coarse build + search is never spent where drift
+    cannot require it.)
+    Returns (fine_starts [N, 3], scores [N], corrections [N, 3],
+    covariances [N, 3, 3]).
+    """
+    def one(p, pt, pm, wm, qp, qm, qn, st):
+        cgrid = build_window_ndt(coarse_config, p, pt, pm, wm, range_max)
+        cres = match_scan(coarse_config, cgrid, qp, qm, qn, st, range_max)
+        st2 = st + cres.correction
+        fgrid = build_window_ndt(fine_config, p, pt, pm, wm, range_max)
+        fres = match_scan(fine_config, fgrid, qp, qm, qn, st2, range_max)
+        return st2, fres.score, fres.correction, fres.covariance
+    return jax.vmap(one)(poses, points, point_mask, window_mask,
+                         query_points, query_mask, query_num, start_poses)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def match_scan_with_score(config: ScanMatcherConfig, grid: ndt_grid.NDTGrid,
                           scan_points, scan_mask, num_points, pose,
                           packed_table=None):

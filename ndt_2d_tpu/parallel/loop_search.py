@@ -191,13 +191,21 @@ def search_all_pairs_multichip(mesh, desc, valid, k: int = 8,
 
 
 def pad_descriptors(desc: np.ndarray, valid: np.ndarray, n_shards: int):
-    """Pad the descriptor table to a multiple of the shard count."""
+    """Pad the descriptor table to a multiple of the shard count.
+
+    Returns host numpy: in multi-controller mode the search jit treats host
+    arrays as process-replicated inputs (committed jnp arrays would pin to
+    one process's local device); single-process jit transfers them the same
+    way a jnp.asarray would have.
+    """
+    desc = np.asarray(desc)
+    valid = np.asarray(valid)
     n = desc.shape[0]
     n_pad = -(-n // n_shards) * n_shards
     if n_pad == n:
-        return jnp.asarray(desc), jnp.asarray(valid)
+        return desc, valid
     d = np.zeros((n_pad, desc.shape[1]), desc.dtype)
     v = np.zeros(n_pad, bool)
     d[:n] = desc
     v[:n] = valid
-    return jnp.asarray(d), jnp.asarray(v)
+    return d, v

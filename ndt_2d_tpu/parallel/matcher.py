@@ -100,4 +100,17 @@ def match_scan_multichip(config: ScanMatcherConfig, mesh,
 
     best, corr, k, u, s = _sharded(dths, dth_valid, grid, spts, smask,
                                    pose, dls)
-    return matcher.finalize_match(best, corr, k, u, s, used)
+    res = matcher.finalize_match(best, corr, k, u, s, used)
+    if config.refine_iterations > 0:
+        # Newton polish parity with the single-device match_scan: the
+        # refinement is replicated compute (every device ascends the same
+        # surface from the same lattice winner) — no collectives needed.
+        from ndt_2d_tpu.matching import newton
+        refined, best_f = newton.refine_pose(config, grid, spts, smask,
+                                             pose + res.correction,
+                                             config.refine_iterations)
+        used_f = jnp.maximum(used, 1).astype(best_f.dtype)
+        res = matcher.MatchResult(score=best_f / used_f,
+                                  correction=refined - pose,
+                                  covariance=res.covariance)
+    return res

@@ -61,6 +61,40 @@ def match_scan_rolling_multichip(config: ScanMatcherConfig, mesh,
     return unc, res.score, res.correction, res.covariance
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mesh"),
+                   donate_argnums=(2, 3))
+def mapping_step_async_multichip(config: ScanMatcherConfig, mesh,
+                                 window: matcher.RollingWindow, prev_pose,
+                                 range_max, points, mask, num_points, delta):
+    """matcher.mapping_step_async with the candidate search angle-sharded
+    over the mesh 'space' axis — mesh mode and pipelining composed.
+
+    The pose chain and rolling window stay device-resident (replicated over
+    the mesh) exactly like the single-device pipelined path; only the 35k-
+    candidate search is sharded, and its reduction is the exact psum /
+    first-hit-wins all_gather of parallel.matcher.match_scan_multichip, so
+    the drained results equal the synchronous mesh path's.  Single-process
+    meshes only: the multi-process runtime keeps host-side (numpy) inputs
+    and therefore runs the synchronous step (mapping/mapper.py).
+    Returns (window', pose', (unc, score, corr, cov, pose'))."""
+    c, s = jnp.cos(prev_pose[2]), jnp.sin(prev_pose[2])
+    th = prev_pose[2] + delta[2]
+    pose = jnp.stack([prev_pose[0] + c * delta[0] - s * delta[1],
+                      prev_pose[1] + s * delta[0] + c * delta[1],
+                      jnp.arctan2(jnp.sin(th), jnp.cos(th))])
+    grid = matcher.build_window_ndt(
+        config, window.poses, window.points, window.point_mask, window.mask,
+        range_max)
+    unc = matcher.score_points_at_pose(config, grid, points, mask,
+                                       num_points, pose)
+    res = pmatcher.match_scan_multichip(config, mesh, grid, points, mask,
+                                        num_points, pose)
+    new_pose = pose + res.correction
+    window2 = matcher.window_append(window, new_pose, points, mask)
+    return window2, new_pose, (unc, res.score, res.correction,
+                               res.covariance, new_pose)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "mesh"))
 def match_scan_global_multichip(config: ScanMatcherConfig, mesh, grid,
                                 points, mask, num_points, pose):
@@ -98,7 +132,18 @@ def _sharded_match_one(config: ScanMatcherConfig, axis_space: str,
     bests = jax.lax.all_gather(best, axis_space)
     corrs = jax.lax.all_gather(corr, axis_space)
     win = jnp.argmin(bests)
-    return bests[win], corrs[win], k, u, s
+    best_w, corr_w = bests[win], corrs[win]
+    if config.refine_iterations > 0:
+        # Newton polish parity with the single-device match_scan (the grid
+        # is replicated across the space group, so every device ascends the
+        # same surface from the same lattice winner — replicated compute).
+        from ndt_2d_tpu.matching import newton
+        refined, best_f = newton.refine_pose(config, grid, spts, smask,
+                                             start + corr_w,
+                                             config.refine_iterations)
+        best_w = best_f
+        corr_w = refined - start
+    return best_w, corr_w, k, u, s
 
 
 @functools.partial(jax.jit,
@@ -216,6 +261,125 @@ def confirm_batch_coarse_fine_multichip(coarse_config: ScanMatcherConfig,
     return st2, res.score, res.correction, res.covariance
 
 
+def _sharded_match_row(config: ScanMatcherConfig, axis_space: str,
+                       poses, pts, pmask, wmask, start, qpts, qmask, qnum,
+                       range_max, dths_blk, valid_blk, dls):
+    """_sharded_match_one with a per-row query scan: subsample inside, so
+    rows of a multi-query confirmation batch can vmap over this.  Returns
+    (best, correction, k, u, s, used)."""
+    spts, smask, used = matcher.subsample(qpts, qmask, qnum,
+                                          config.laser_max_beams)
+    best, corr, k, u, s = _sharded_match_one(
+        config, axis_space, poses, pts, pmask, wmask, start, spts, smask,
+        range_max, dths_blk, valid_blk, dls)
+    return best, corr, k, u, s, used
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "mesh", "axis_batch",
+                                    "axis_space"))
+def confirm_rows_multichip(config: ScanMatcherConfig, mesh, poses, points,
+                           point_mask, window_mask, range_max, query_points,
+                           query_mask, query_num, start_poses,
+                           axis_batch: str = BATCH_AXIS,
+                           axis_space: str = SPACE_AXIS):
+    """Multi-query confirmation rows sharded over ``batch``, each row's
+    angle lattice over ``space`` (the mesh analog of
+    matcher.match_scan_batch_multi).  query_points [N, P, 2] /
+    query_mask [N, P] / query_num [N] are per-row.  N must divide
+    mesh.shape[axis_batch].  Returns (scores [N], corrections [N, 3],
+    covs [N, 3, 3])."""
+    n_space = mesh.shape[axis_space]
+    dtype = query_points.dtype
+    dths, dth_valid, _ = pmatcher._padded_angles(config, n_space, dtype)
+    dls = (-config.search_linear_size
+           + jnp.arange(config.num_linear, dtype=dtype)
+           * config.search_linear_resolution)
+
+    cand_spec = P(axis_batch)
+    ang_spec = P(axis_space)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(cand_spec,) * 5 + (cand_spec, cand_spec, cand_spec, rep,
+                                     ang_spec, ang_spec, rep),
+        out_specs=(cand_spec,) * 6, check_vma=False)
+    def _sharded(poses_b, pts_b, pmask_b, wmask_b, starts_b, qpts_b, qmask_b,
+                 qnum_b, rmax_, dths_blk, valid_blk, dls_):
+        fn = functools.partial(_sharded_match_row, config, axis_space)
+        return jax.vmap(
+            fn, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None))(
+                poses_b, pts_b, pmask_b, wmask_b, starts_b, qpts_b, qmask_b,
+                qnum_b, rmax_, dths_blk, valid_blk, dls_)
+
+    best, corr, k, u, s, used = _sharded(
+        poses, points, point_mask, window_mask, start_poses, query_points,
+        query_mask, query_num, jnp.asarray(range_max, dtype), dths,
+        dth_valid, dls)
+    res = jax.vmap(matcher.finalize_match)(best, corr, k, u, s, used)
+    return res.score, res.correction, res.covariance
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("coarse_config", "fine_config", "mesh",
+                                    "axis_batch", "axis_space"))
+def confirm_rows_coarse_fine_multichip(coarse_config: ScanMatcherConfig,
+                                       fine_config: ScanMatcherConfig, mesh,
+                                       poses, points, point_mask,
+                                       window_mask, range_max, query_points,
+                                       query_mask, query_num, start_poses,
+                                       axis_batch: str = BATCH_AXIS,
+                                       axis_space: str = SPACE_AXIS):
+    """Far-candidate (coarse-to-fine) confirmation rows, mesh-sharded; the
+    mesh analog of matcher.match_scan_batch_multi_coarse_fine.  Returns
+    (fine_starts [N, 3], scores [N], corrections [N, 3], covs [N, 3, 3])."""
+    n_space = mesh.shape[axis_space]
+    dtype = query_points.dtype
+    cdths, cvalid, _ = pmatcher._padded_angles(coarse_config, n_space, dtype)
+    fdths, fvalid, _ = pmatcher._padded_angles(fine_config, n_space, dtype)
+    cdls = (-coarse_config.search_linear_size
+            + jnp.arange(coarse_config.num_linear, dtype=dtype)
+            * coarse_config.search_linear_resolution)
+    fdls = (-fine_config.search_linear_size
+            + jnp.arange(fine_config.num_linear, dtype=dtype)
+            * fine_config.search_linear_resolution)
+
+    cand_spec = P(axis_batch)
+    ang_spec = P(axis_space)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(cand_spec,) * 5 + (cand_spec, cand_spec, cand_spec, rep,
+                                     ang_spec, ang_spec, rep, ang_spec,
+                                     ang_spec, rep),
+        out_specs=(cand_spec,) * 7, check_vma=False)
+    def _sharded(poses_b, pts_b, pmask_b, wmask_b, starts_b, qpts_b, qmask_b,
+                 qnum_b, rmax_, cdths_blk, cvalid_blk, cdls_, fdths_blk,
+                 fvalid_blk, fdls_):
+        def one(poses_c, pts_c, pmask_c, wmask_c, st, qp, qm, qn):
+            spts, smask, used = matcher.subsample(
+                qp, qm, qn, fine_config.laser_max_beams)
+            _, ccorr, _, _, _ = _sharded_match_one(
+                coarse_config, axis_space, poses_c, pts_c, pmask_c, wmask_c,
+                st, spts, smask, rmax_, cdths_blk, cvalid_blk, cdls_)
+            st2 = st + ccorr
+            best, corr, k, u, s = _sharded_match_one(
+                fine_config, axis_space, poses_c, pts_c, pmask_c, wmask_c,
+                st2, spts, smask, rmax_, fdths_blk, fvalid_blk, fdls_)
+            return st2, best, corr, k, u, s, used
+        return jax.vmap(one)(poses_b, pts_b, pmask_b, wmask_b, starts_b,
+                             qpts_b, qmask_b, qnum_b)
+
+    st2, best, corr, k, u, s, used = _sharded(
+        poses, points, point_mask, window_mask, start_poses, query_points,
+        query_mask, query_num, jnp.asarray(range_max, dtype), cdths, cvalid,
+        cdls, fdths, fvalid, fdls)
+    res = jax.vmap(matcher.finalize_match)(best, corr, k, u, s, used)
+    return st2, res.score, res.correction, res.covariance
+
+
 # ---------------------------------------------------------------------------
 # Pose-graph solve: constraints sharded over `batch`.
 # ---------------------------------------------------------------------------
@@ -251,13 +415,13 @@ def solve_graph_multichip(graph, config: SolverConfig, mesh,
     nmask = np.arange(np_) < n
     switchable = np.zeros(cp, bool)
     switchable[:c] = graph.constraint_switchable
+    # Inputs stay host-numpy: in multi-controller mode they are treated as
+    # process-replicated and each process feeds its addressable shards
+    # (committed jnp arrays would pin to one process's device 0).
     res = psolver.solve_multichip(
-        config, mesh,
-        jnp.asarray(poses), jnp.asarray(begin), jnp.asarray(end),
-        jnp.asarray(transform), jnp.asarray(information), jnp.asarray(cmask),
-        jnp.asarray(nmask), fixed_index=fixed_index, axis=axis,
-        robust_mask=jnp.asarray(switchable))
-    if not bool(res.success):
+        config, mesh, poses, begin, end, transform, information, cmask,
+        nmask, fixed_index=fixed_index, axis=axis, robust_mask=switchable)
+    if not bool(np.asarray(res.success)):
         return False
     graph.set_poses(np.asarray(res.poses[:n], np.float64))
     return True

@@ -109,6 +109,80 @@ class TestSearch:
                     == np.asarray(idx_d)[finite]).all(), q
 
 
+class TestUnionMode:
+    """loop_search='both': deduped union of radius and descriptor proposals,
+    radius first (they carry the precise start pose)."""
+
+    def _populated_mapper(self, loop_search):
+        from ndt_2d_tpu.config import MapperConfig, ScanMatcherConfig
+        from ndt_2d_tpu.mapping.mapper import Mapper
+
+        world = sim.make_office_world(16.0)
+        cfg = MapperConfig(
+            local_scan_matcher=ScanMatcherConfig(grid_cells_x=160,
+                                                 grid_cells_y=160),
+            global_scan_matcher=ScanMatcherConfig(grid_cells_x=160,
+                                                  grid_cells_y=160),
+            max_points_per_scan=512, loop_closure_every=10**9,
+            global_search_size=4.0, global_search_limit=3,
+            loop_search=loop_search, descriptor_min_similarity=0.5)
+        mapper = Mapper(cfg)
+        mapper.range_max = 12.0
+        # A ring of keyframes whose tail revisits the start: radius finds
+        # the geometric neighbors, the permissive similarity threshold lets
+        # descriptors propose as well.
+        ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+        poses = np.stack([8.0 + 3.0 * np.cos(ang), 8.0 + 3.0 * np.sin(ang),
+                          ang + np.pi / 2], -1)
+        poses = np.concatenate([poses, poses[:2]])  # revisit
+        for t, p in enumerate(poses):
+            msg = sim.scan_at_pose(world, p, n_beams=240, range_max=12.0,
+                                   noise=0.01, rng=np.random.default_rng(t))
+            pts, msk = sim.project_scan(msg, 512)
+            mapper.graph.add_scan(p, pts, msk)
+        return mapper
+
+    def _candidates(self, mapper, idx):
+        from ndt_2d_tpu.parallel import loop_search as ls
+        g = mapper.graph
+        desc_table = desc_valid = None
+        if mapper.config.loop_search in ("descriptor", "both"):
+            desc_table = ls.descriptors(g.points_padded, g.point_mask_padded,
+                                        np.float32(mapper.range_max),
+                                        mapper.config.descriptor_bins)
+            desc_valid = (np.arange(g.points_padded.shape[0])
+                          < g.num_scans)
+        return mapper._loop_candidates(idx, desc_table, desc_valid)
+
+    def test_union_dedup_and_order(self):
+        idx = 25  # revisit keyframe
+        radius = self._candidates(self._populated_mapper("radius"), idx)
+        desc = self._candidates(self._populated_mapper("descriptor"), idx)
+        both = self._candidates(self._populated_mapper("both"), idx)
+        assert radius, "radius source must propose (geometric revisit)"
+        assert desc, "descriptor source must propose (permissive threshold)"
+        # Union semantics: radius proposals first and in order, descriptor
+        # extras appended deduped.
+        assert both[:len(radius)] == radius
+        assert set(both) == set(radius) | set(desc)
+        assert len(both) == len(set(both))
+
+    def test_union_covers_drifted_revisit(self):
+        """When the pose estimate is dragged outside the radius reach, the
+        union still proposes the true revisit (via the descriptor arm) AND
+        keeps whatever the radius arm sees near the drifted estimate."""
+        mapper = self._populated_mapper("both")
+        g = mapper.graph
+        idx = 25
+        poses = g.poses.copy()
+        poses[idx, :2] += 5.0  # > sqrt(global_search_size)=2 m of drift
+        g.set_poses(poses)
+        both = self._candidates(mapper, idx)
+        true_revisits = {idx - 24, (idx - 24) % 24 + 1}
+        assert set(both) & true_revisits, (
+            f"union missed the true revisit under drift: {both}")
+
+
 class TestMapperIntegration:
     def test_descriptor_loop_closure_e2e(self):
         """Office loop with loop_search='descriptor' closes the loop."""

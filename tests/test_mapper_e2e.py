@@ -306,7 +306,7 @@ class TestBatchedLoopClosureEquivalence:
     matching.matcher.match_scan_batch) must make the same decisions as the
     reference-shaped per-candidate loop."""
 
-    @pytest.mark.parametrize("loop_search", ["radius", "descriptor"])
+    @pytest.mark.parametrize("loop_search", ["radius", "descriptor", "both"])
     def test_same_closures_and_poses(self, loop_search):
         world, truth, odom = _office_loop_inputs()
         global_mcfg = ScanMatcherConfig(
@@ -317,10 +317,16 @@ class TestBatchedLoopClosureEquivalence:
         # comparison: it amplifies f32-round-off start differences
         # chaotically, and its equivalence isn't the property under test
         # (TestLoopClosure covers the full closure+optimize flow).
+        # region_size=3: the 2-slot parity region leaves this scenario's
+        # best closure scores within ~0.01 of the gate (a lattice-phase
+        # coin flip); the 3-scan region builds a denser confirmation NDT
+        # whose acceptances clear the gate robustly, which the equivalence
+        # assertion below needs (>= 1 acceptance on both arms).
         base = dataclasses.replace(
             CFG, global_scan_matcher=global_mcfg,
             global_search_size=4.0, optimization_node_limit=10**9,
-            loop_search=loop_search, descriptor_min_similarity=0.97)
+            loop_search=loop_search, descriptor_min_similarity=0.97,
+            loop_closure_region_size=3)
 
         results = {}
         for batched in (False, True):
@@ -350,6 +356,72 @@ class TestBatchedLoopClosureEquivalence:
         np.testing.assert_allclose(bat["poses"], seq["poses"], atol=1e-5)
 
 
+class TestCandidateRegion:
+    """config.loop_closure_region_size: the S-slot confirmation window."""
+
+    def _mapper_with_line_graph(self, region):
+        cfg = dataclasses.replace(CFG,
+                                  loop_closure_region_size=region)
+        mapper = Mapper(cfg)
+        rng = np.random.default_rng(0)
+        pts = rng.normal(0, 1, (30, CFG.max_points_per_scan, 2)).astype(
+            np.float32)
+        msk = np.ones((30, CFG.max_points_per_scan), bool)
+        for t in range(30):
+            mapper.graph.add_scan(np.asarray([0.5 * t, 0.0, 0.0]), pts[t],
+                                  msk[t])
+        return mapper, pts
+
+    def test_region_2_is_reference_parity(self):
+        mapper, pts = self._mapper_with_line_graph(2)
+        poses, p, pm, wm = mapper._candidate_window(5, rolling=20)
+        # {i-1, i}: exclusive end bound (ndt_mapper.cpp:627-631).
+        assert wm.tolist() == [True, True]
+        np.testing.assert_allclose(poses[:, 0], [2.0, 2.5])
+        np.testing.assert_array_equal(p[0], pts[4])
+        np.testing.assert_array_equal(p[1], pts[5])
+
+    def test_region_3_takes_one_either_side(self):
+        mapper, pts = self._mapper_with_line_graph(3)
+        poses, p, pm, wm = mapper._candidate_window(5, rolling=20)
+        assert wm.tolist() == [True, True, True]
+        np.testing.assert_allclose(poses[:, 0], [2.0, 2.5, 3.0])
+        np.testing.assert_array_equal(p[2], pts[6])
+
+    def test_region_3_clips_at_rolling_window(self):
+        """Scan i+1 must never leak from the query's rolling window."""
+        mapper, pts = self._mapper_with_line_graph(3)
+        poses, p, pm, wm = mapper._candidate_window(5, rolling=6)
+        assert wm.tolist() == [True, True, False]
+        np.testing.assert_allclose(poses[:2, 0], [2.0, 2.5])
+
+    def test_region_3_clips_at_zero(self):
+        mapper, pts = self._mapper_with_line_graph(3)
+        poses, p, pm, wm = mapper._candidate_window(0, rolling=20)
+        assert wm.tolist() == [True, True, False]
+        np.testing.assert_array_equal(p[0], pts[0])
+        np.testing.assert_array_equal(p[1], pts[1])
+
+    def test_office_loop_region3(self):
+        """The wider region still closes the office loop end-to-end."""
+        world, truth, odom = _office_loop_inputs()
+        global_mcfg = ScanMatcherConfig(
+            ndt_resolution=0.35, search_linear_size=0.15,
+            search_linear_resolution=0.01, search_angular_size=0.05,
+            grid_cells_x=160, grid_cells_y=160)
+        cfg = dataclasses.replace(
+            CFG, global_scan_matcher=global_mcfg, global_search_size=4.0,
+            optimization_node_limit=10, loop_closure_every=15,
+            loop_closure_region_size=3, loop_closure_gate_scale=0.85)
+        mapper, est, used_truth = run_mapping(world, truth, odom, cfg=cfg,
+                                              range_max=12.0, n_beams=600)
+        mapper.loop_closure()
+        assert mapper.stats.loop_closures_accepted >= 1
+        ate = metrics.ate_rmse(mapper.graph.poses[:len(used_truth)],
+                               used_truth)
+        assert ate < 0.3
+
+
 class TestPipelinedLoopClosure:
     """config.pipeline_loop_closure: the whole-pass pipelined confirmation
     (dispatch all pending scans, then drain; mapper._loop_closure_pass_
@@ -367,7 +439,7 @@ class TestPipelinedLoopClosure:
             CFG, global_scan_matcher=global_mcfg,
             global_search_size=4.0, optimization_node_limit=10**9,
             loop_search=loop_search, descriptor_min_similarity=0.97,
-            batch_loop_closure=True)
+            batch_loop_closure=True, loop_closure_region_size=3)
 
         results = {}
         for pipelined in (False, True):

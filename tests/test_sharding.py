@@ -93,6 +93,63 @@ class TestShardedMatcher:
         np.testing.assert_allclose(np.asarray(out.correction),
                                    np.asarray(ref.correction), atol=1e-6)
 
+    def test_newton_refine_matches_single_device(self, world_setup):
+        """refine_iterations > 0: the sharded match must apply the same
+        Newton polish as the single-device path (it is replicated compute
+        after the sharded lattice reduction)."""
+        import dataclasses
+        m, qpts, qmask = world_setup
+        rcfg = dataclasses.replace(MCFG, refine_iterations=5)
+        n = int(qmask.sum())
+        pose = jnp.asarray([5.02, 3.98, 0.01], jnp.float32)
+        ref = matcher.match_scan(rcfg, m.grid, jnp.asarray(qpts),
+                                 jnp.asarray(qmask), jnp.int32(n), pose,
+                                 jnp.float32(15.0))
+        mesh = mesh_mod.make_mesh(8)
+        out = pmatcher.match_scan_multichip(
+            rcfg, mesh, m.grid, jnp.asarray(qpts), jnp.asarray(qmask),
+            jnp.int32(n), pose)
+        assert float(out.score) == pytest.approx(float(ref.score), abs=1e-5)
+        np.testing.assert_allclose(np.asarray(out.correction),
+                                   np.asarray(ref.correction), atol=1e-5)
+
+    def test_confirm_refine_matches_single_device(self, world_setup):
+        """The confirmation batch (runtime.confirm_batch_multichip) applies
+        the Newton polish inside its sharded per-candidate reduction."""
+        import dataclasses
+
+        from ndt_2d_tpu.parallel import runtime
+        m, qpts, qmask = world_setup
+        rcfg = dataclasses.replace(MCFG, refine_iterations=5)
+        world = sim.make_box_world(10.0, 8.0)
+        poses = np.asarray([[[4.8, 3.9, 0.0], [5.0, 4.0, 0.05]],
+                            [[5.2, 4.1, -0.05], [5.4, 4.0, 0.0]]], np.float32)
+        pts = np.zeros((2, 2, 512, 2), np.float32)
+        msk = np.zeros((2, 2, 512), bool)
+        for a in range(2):
+            for b in range(2):
+                msg = sim.scan_at_pose(world, poses[a, b], n_beams=360,
+                                       range_max=15.0)
+                pts[a, b], msk[a, b] = sim.project_scan(msg, 512)
+        wmask = np.ones((2, 2), bool)
+        starts = np.asarray([[5.02, 3.98, 0.01], [5.3, 4.05, -0.02]],
+                            np.float32)
+        n = int(qmask.sum())
+        ref = matcher.match_scan_batch(
+            rcfg, jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(msk),
+            jnp.asarray(wmask), jnp.float32(15.0), jnp.asarray(qpts),
+            jnp.asarray(qmask), jnp.int32(n), jnp.asarray(starts))
+        mesh = mesh_mod.make_mesh(8)  # batch axis = 2
+        out = runtime.confirm_batch_multichip(
+            rcfg, mesh, jnp.asarray(poses), jnp.asarray(pts),
+            jnp.asarray(msk), jnp.asarray(wmask), jnp.float32(15.0),
+            jnp.asarray(qpts), jnp.asarray(qmask), jnp.int32(n),
+            jnp.asarray(starts))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                                   atol=1e-5)
+
     def test_single_axis_mesh(self, world_setup):
         m, qpts, qmask = world_setup
         n = int(qmask.sum())
