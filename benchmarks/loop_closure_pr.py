@@ -76,6 +76,20 @@ def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
     true_accepted = [(idx, i) for idx, i in accepted if i in revisits[idx]]
     closed_queries = {idx for idx, _ in true_accepted}
 
+    # Diagnostics: why do revisit queries fail to close?  For each revisit
+    # query, was a TRUE pair ever scored, did it pass the score gate, and
+    # what truth separation do the false accepts actually have?
+    true_scored = set()
+    true_passing = set()
+    for idx, i, score, gate, ok in mapper.lc_log["decisions"]:
+        if idx < len(revisits) and i in revisits[idx]:
+            true_scored.add(idx)
+            if score < gate:
+                true_passing.add(idx)
+    false_seps = [float(np.linalg.norm(truth_used[idx, :2]
+                                       - truth_used[i, :2]))
+                  for idx, i in accepted if i not in revisits[idx]]
+
     return {
         "revisit_queries": len(queries),
         "candidate_recall": round(len(hit_queries) / max(len(queries), 1), 3),
@@ -84,6 +98,12 @@ def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
             len(true_accepted) / max(len(accepted), 1), 3),
         "closure_recall": round(
             len(closed_queries & queries) / max(len(queries), 1), 3),
+        "true_pair_scored_queries": len(true_scored & queries),
+        "true_pair_gate_pass_queries": len(true_passing & queries),
+        "false_sep_median_m": round(float(np.median(false_seps)), 2)
+        if false_seps else None,
+        "false_sep_max_m": round(float(np.max(false_seps)), 2)
+        if false_seps else None,
     }
 
 
@@ -192,7 +212,8 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--scenario", default="all",
                     choices=["office", "office_drift", "simlab", "all",
-                             "round4"])
+                             "round4", "round4b", "round4c", "round4d",
+                             "round4e"])
     args = ap.parse_args(argv)
 
     from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
@@ -264,6 +285,120 @@ def main(argv=None) -> int:
         tag("simlab", "both", 0.85, 0.90,
             run_simlab(0.85, "both", 0.90, n_simlab, recipe=R3),
             recipe="region3")
+
+    if args.scenario == "round4b":
+        # Gate recalibration for region-3 confirmation NDTs: the denser
+        # regions score much closer to the 10-scan rolling EWMA, so the
+        # round-3 scale (0.85, i.e. LOOSER than reference) over-accepts.
+        R3 = {"loop_closure_region_size": 3}
+        N8 = {"refine_iterations": 8}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for gate in (0.95, 1.0, 1.05, 1.1):
+            tag("office", "radius", gate, None,
+                run_office("radius", gate, 0.95, 1.0, n_office,
+                           recipe=R3, gm=N8), recipe="region3+newton")
+        for gate in (1.05, 1.1, 1.2):
+            tag("office_drift", "both", gate, 0.90,
+                run_office("both", gate, 0.90, 3.0, n_office,
+                           recipe=R3, gm=N8), recipe="region3+newton")
+        for gate in (1.0, 1.1):
+            tag("simlab", "radius", gate, None,
+                run_simlab(gate, "radius", 0.95, n_simlab, recipe=R3,
+                           gm=N8), recipe="region3+newton")
+
+    if args.scenario == "round4c":
+        # accept="best" (at most one closure per query per pass — kills the
+        # correlated redundant accepts adjacent region-3 windows produce)
+        # + the matched-separation gate (the match's own estimate of how
+        # far apart the scans were taken must be < 1.5 m — the measured
+        # false-accept class is 1-2 m-separation geometric matches).
+        RB = {"loop_closure_region_size": 3, "loop_closure_accept": "best",
+              "loop_closure_max_separation": 1.5}
+        N8 = {"refine_iterations": 8}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for gate in (0.85, 0.95):
+            tag("office", "radius", gate, None,
+                run_office("radius", gate, 0.95, 1.0, n_office,
+                           recipe=RB, gm=N8),
+                recipe="region3+newton+best+sep1.5")
+        for gate in (0.85, 0.95, 1.05):
+            tag("office_drift", "both", gate, 0.90,
+                run_office("both", gate, 0.90, 3.0, n_office,
+                           recipe=RB, gm=N8),
+                recipe="region3+newton+best+sep1.5")
+        for gate in (0.85, 0.95):
+            tag("simlab", "radius", gate, None,
+                run_simlab(gate, "radius", 0.95, n_simlab, recipe=RB,
+                           gm=N8), recipe="region3+newton+best+sep1.5")
+        tag("simlab", "both", 0.85, 0.90,
+            run_simlab(0.85, "both", 0.90, n_simlab, recipe=RB, gm=N8),
+            recipe="region3+newton+best+sep1.5")
+
+    if args.scenario == "round4d":
+        # Drift-case candidate recall: wider descriptor top-k and lower
+        # similarity cutoff (best+separation guard the precision side), and
+        # the office operating point between the 4c gates.
+        N8 = {"refine_iterations": 8}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for sim_t, k in ((0.85, 8), (0.80, 8), (0.85, 12)):
+            rb = {"loop_closure_region_size": 3,
+                  "loop_closure_accept": "best",
+                  "loop_closure_max_separation": 1.5,
+                  "global_search_limit": k}
+            tag("office_drift", "both", 0.85, sim_t,
+                run_office("both", 0.85, sim_t, 3.0, n_office,
+                           recipe=rb, gm=N8),
+                recipe=f"region3+newton+best+sep1.5+k{k}")
+        for gate, sep in ((0.90, 1.5), (0.90, 1.0), (0.95, 1.0)):
+            rb = {"loop_closure_region_size": 3,
+                  "loop_closure_accept": "best",
+                  "loop_closure_max_separation": sep}
+            tag("office", "radius", gate, None,
+                run_office("radius", gate, 0.95, 1.0, n_office,
+                           recipe=rb, gm=N8),
+                recipe=f"region3+newton+best+sep{sep}")
+
+    if args.scenario == "round4e":
+        # The wide-heading coarse lattice (config.py: ±0.5 rad — the old
+        # ±0.1 rad covered only ~1σ of the 3x-drift heading error, so
+        # descriptor-proposed true revisits were unconfirmable): drift
+        # variants around the best 4c/4d operating point.
+        N8 = {"refine_iterations": 8}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for sim_t, k, sep in ((0.85, 8, 1.5), (0.85, 8, 1.0),
+                              (0.80, 8, 1.5), (0.85, 5, 1.5)):
+            rb = {"loop_closure_region_size": 3,
+                  "loop_closure_accept": "best",
+                  "loop_closure_max_separation": sep,
+                  "global_search_limit": k}
+            tag("office_drift", "both", 0.85, sim_t,
+                run_office("both", 0.85, sim_t, 3.0, n_office,
+                           recipe=rb, gm=N8),
+                recipe=f"wide+best+sep{sep}+k{k}")
 
     existing = []
     if os.path.exists(RESULTS):

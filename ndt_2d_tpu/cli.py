@@ -97,14 +97,16 @@ def _mapper_config(args):
     kw = {}
     for f in ("resolution", "minimum_travel_distance",
               "minimum_travel_rotation", "global_search_size",
-              "occupancy_threshold", "max_range"):
+              "occupancy_threshold", "max_range",
+              "descriptor_min_similarity"):
         v = getattr(args, f.replace("-", "_"), None)
         if v is not None:
             kw[f] = v
     for f in ("rolling_depth", "global_search_limit",
               "optimization_node_limit", "loop_closure_every",
               "max_points_per_scan", "loop_search", "scan_matcher_type",
-              "max_inflight", "loop_closure_region_size"):
+              "max_inflight", "loop_closure_region_size",
+              "loop_closure_accept", "loop_closure_max_separation"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -454,6 +456,21 @@ def main(argv=None) -> int:
                        dest="loop_closure_region_size", metavar="S",
                        help="scans per candidate confirmation region "
                             "(2 = reference parity, 3 = one either side)")
+        p.add_argument("--loop-closure-accept", choices=["first", "best"],
+                       default=None, dest="loop_closure_accept",
+                       help="per-query acceptance policy: first passing "
+                            "candidate (reference order) or only the "
+                            "best-scoring one (precision lever)")
+        p.add_argument("--loop-closure-max-separation", type=float,
+                       default=None, dest="loop_closure_max_separation",
+                       metavar="M",
+                       help="accept a closure only if the match lands the "
+                            "query within M meters of the candidate "
+                            "(inf = reference parity, score-only gate)")
+        p.add_argument("--descriptor-min-similarity", type=float,
+                       default=None, dest="descriptor_min_similarity",
+                       help="cosine cutoff for descriptor loop-closure "
+                            "candidates (loop-search descriptor/both)")
         p.add_argument("--scan-matcher-type", default=None,
                        dest="scan_matcher_type",
                        help="matcher plugin (ndt_mapper.cpp:91-92): ndt, "

@@ -239,6 +239,23 @@ class MapperConfig:
     # reach when it isn't.
     loop_search: str = "radius"
 
+    # Maximum MATCHED separation for an accepted closure, in meters: after
+    # confirmation, the corrected query pose must land within this distance
+    # of the candidate's pose.  The match itself estimates how far apart
+    # the two scans were taken; beyond ~1-1.5 m the NDT overlap (and so the
+    # constraint) degrades, and such accepts are the measured bulk of the
+    # false-positive class on the office benchmark.  inf = off (reference
+    # parity: its gate is score-only, ndt_mapper.cpp:645).
+    loop_closure_max_separation: float = float("inf")
+
+    # Acceptance policy within one query's candidate list: "first" = the
+    # reference's iteration order (accept any candidate passing the gate as
+    # it is reached, ndt_mapper.cpp:645-663); "best" = evaluate only the
+    # best-scoring candidate against the gate and add at most ONE closure
+    # per query per pass — a precision lever when dense confirmation
+    # regions let several geometric near-matches through the gate.
+    loop_closure_accept: str = "first"
+
     # Scans per loop-closure candidate region (the NDT the query is matched
     # against).  2 = exact reference parity: its comment says "one
     # additional scan on either side" but its exclusive end bound yields
@@ -254,14 +271,21 @@ class MapperConfig:
     # 0.29 / 1.28 at the old untuned 0.95.
     descriptor_min_similarity: float = 0.90
     # Descriptor-mode candidates carry unknown odometry drift, so their NDT
-    # confirmation runs coarse-to-fine: this wide/coarse lattice aligns first
-    # (starting from the candidate's position), then ``global_scan_matcher``
-    # refines and produces the score + covariance that gate acceptance.
+    # confirmation runs coarse-to-fine: this wide/coarse lattice aligns
+    # first (starting from the candidate's position), then
+    # ``global_scan_matcher`` refines and produces the score + covariance
+    # that gate acceptance.  The angular reach matters as much as the
+    # linear one: drift corrupts HEADING too (±0.1 rad covered only 1σ of
+    # the 3x-drift office's heading error — far candidates were proposed by
+    # the rotation-invariant descriptors and then unconfirmable because the
+    # true rotation sat outside the lattice).  ±0.5 rad @ 0.05 x 41² linear
+    # ≈ the fine lattice's candidate count, so coarse costs about one extra
+    # fine match per far row.
     coarse_scan_matcher: ScanMatcherConfig = dataclasses.field(
         default_factory=lambda: ScanMatcherConfig(
             ndt_resolution=0.5, search_linear_size=2.0,
-            search_linear_resolution=0.1, search_angular_size=0.1,
-            search_angular_resolution=0.02))
+            search_linear_resolution=0.1, search_angular_size=0.5,
+            search_angular_resolution=0.05))
 
 
 DEFAULT_CONFIG = MapperConfig()

@@ -1102,6 +1102,14 @@ class Mapper:
         gate = (self.typical_matcher_response
                 * self.config.loop_closure_gate_scale)
         accepted = bool(np.isfinite(score) and score < gate)
+        if accepted:
+            # Separation gate: the corrected query pose must land within
+            # loop_closure_max_separation of the candidate — the match's
+            # own estimate of how far apart the scans were taken (see
+            # config.py; inf = reference parity).
+            sep = np.hypot(*(start[:2] + np.asarray(correction)[:2]
+                             - g.poses[i, :2]))
+            accepted = sep <= self.config.loop_closure_max_separation
         self.lc_log["decisions"].append((idx, i, float(score), float(gate),
                                          accepted))
         if accepted:
@@ -1198,6 +1206,8 @@ class Mapper:
         g = self.graph
         rolling = idx - self.config.rolling_depth
         n = int(g.point_mask[idx].sum())
+        best_mode = self.config.loop_closure_accept == "best"
+        results = []
         added = 0
         for i in candidates:
             poses2, pts2, pmask2, wmask2 = self._candidate_window(i, rolling)
@@ -1217,9 +1227,20 @@ class Mapper:
                 start = start + np.asarray(coarse.correction, np.float64)
             res = self.global_matcher.match_scan(
                 g.points[idx], g.point_mask[idx], n, start.astype(np.float32))
+            if best_mode:
+                results.append((float(res.score), i, start,
+                                np.asarray(res.correction),
+                                np.asarray(res.covariance)))
+                continue
             added += int(self._apply_gate(idx, i, start, float(res.score),
                                           np.asarray(res.correction),
                                           np.asarray(res.covariance)))
+        if best_mode:
+            for score, i, start, corr, cov in sorted(results,
+                                                     key=lambda r: r[0]):
+                if self._apply_gate(idx, i, start, score, corr, cov):
+                    added += 1
+                    break
         return added
 
     def _confirm_candidates_batched(self, idx: int, candidates: list) -> int:
@@ -1269,12 +1290,21 @@ class Mapper:
             pos = np.nonzero(wants == coarse)[0]
             if not len(pos):
                 continue
-            out = self._dispatch_rows_segment(
-                [rows[r] for r in pos], starts[pos], coarse)
-            if not self._mp:   # sharded outputs allgather at drain instead
-                for leaf in jax.tree_util.tree_leaves(out):
-                    leaf.copy_to_host_async()
-            segments.append((pos, out, coarse))
+            # HBM cap: the confirmation programs materialize
+            # O(rows x lattice x beams) intermediates; too many rows exceed
+            # a v5e chip's HBM (measured: a 256-row coarse batch asked for
+            # 22 GB; the wide-heading coarse lattice runs ~85 MB/row).
+            # Chunk the segment — still O(pass/cap) dispatches, not
+            # O(queries).
+            cap = 32 if coarse else 64
+            for c0 in range(0, len(pos), cap):
+                chunk = pos[c0:c0 + cap]
+                out = self._dispatch_rows_segment(
+                    [rows[r] for r in chunk], starts[chunk], coarse)
+                if not self._mp:   # sharded outputs allgather at drain
+                    for leaf in jax.tree_util.tree_leaves(out):
+                        leaf.copy_to_host_async()
+                segments.append((chunk, out, coarse))
         return starts, segments
 
     def _dispatch_rows_segment(self, rows: list, starts, coarse: bool):
@@ -1359,9 +1389,20 @@ class Mapper:
 
     def _gate_rows(self, idx: int, candidates: list, fstarts, scores, corrs,
                    covs):
-        """Apply the acceptance gates for one query's candidates in order.
+        """Apply the acceptance gates for one query's candidates.
         Returns (closures added, graph changed)."""
         K = len(candidates)
+        if self.config.loop_closure_accept == "best":
+            # Candidates face the gate in score order and at most ONE
+            # closure is added per query per pass; a separation-gate
+            # rejection falls through to the next-best candidate
+            # (config.loop_closure_accept).
+            for j in np.argsort(scores[:K]):
+                ok = self._apply_gate(idx, candidates[j], fstarts[j],
+                                      float(scores[j]), corrs[j], covs[j])
+                if ok:
+                    return 1, True
+            return 0, False
         added = 0
         for j, i in enumerate(candidates):
             ok = self._apply_gate(idx, i, fstarts[j], float(scores[j]),

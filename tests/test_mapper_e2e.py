@@ -422,6 +422,89 @@ class TestCandidateRegion:
         assert ate < 0.3
 
 
+class TestSeparationGate:
+    """config.loop_closure_max_separation: the corrected query pose must
+    land within the bound of the candidate's pose."""
+
+    def _mapper(self, max_sep):
+        cfg = dataclasses.replace(CFG,
+                                  loop_closure_max_separation=max_sep)
+        mapper = Mapper(cfg)
+        pts = np.zeros((CFG.max_points_per_scan, 2), np.float32)
+        msk = np.ones(CFG.max_points_per_scan, bool)
+        mapper.graph.add_scan(np.asarray([0.0, 0.0, 0.0]), pts, msk)
+        for k in range(12):
+            mapper.graph.add_scan(np.asarray([0.2 * k, 2.0, 0.0]), pts, msk)
+        mapper.typical_matcher_response = -0.5
+        return mapper
+
+    def test_far_landing_rejected_near_accepted(self):
+        mapper = self._mapper(1.5)
+        cov = np.eye(3) * 1e-4
+        # Candidate 0 at origin; query 12's matched pose lands 2.0 m away.
+        start = np.asarray([2.0, 0.0, 0.0])
+        assert not mapper._apply_gate(12, 0, start, -0.9, np.zeros(3), cov)
+        # Same score, landing 0.5 m away: accepted.
+        start = np.asarray([0.5, 0.0, 0.0])
+        assert mapper._apply_gate(12, 0, start, -0.9, np.zeros(3), cov)
+
+    def test_inf_is_reference_parity(self):
+        mapper = self._mapper(float("inf"))
+        cov = np.eye(3) * 1e-4
+        start = np.asarray([5.0, 0.0, 0.0])
+        assert mapper._apply_gate(12, 0, start, -0.9, np.zeros(3), cov)
+
+    def test_correction_counts_toward_separation(self):
+        mapper = self._mapper(1.5)
+        cov = np.eye(3) * 1e-4
+        # Start within bound but the correction pushes the landing out.
+        start = np.asarray([1.0, 0.0, 0.0])
+        assert not mapper._apply_gate(12, 0, start, -0.9,
+                                      np.asarray([1.0, 0.0, 0.0]), cov)
+
+
+class TestBestAcceptPolicy:
+    """config.loop_closure_accept='best': at most one closure per query per
+    pass, chosen by score; batched and sequential paths agree."""
+
+    def test_best_mode_one_per_query_and_path_equivalence(self):
+        world, truth, odom = _office_loop_inputs()
+        global_mcfg = ScanMatcherConfig(
+            ndt_resolution=0.35, search_linear_size=0.15,
+            search_linear_resolution=0.01, search_angular_size=0.05,
+            grid_cells_x=160, grid_cells_y=160)
+        base = dataclasses.replace(
+            CFG, global_scan_matcher=global_mcfg, global_search_size=4.0,
+            optimization_node_limit=10**9, loop_closure_region_size=3,
+            loop_closure_gate_scale=0.85, loop_closure_accept="best")
+
+        results = {}
+        for batched in (False, True):
+            cfg = dataclasses.replace(base, batch_loop_closure=batched)
+            mapper, est, used_truth = run_mapping(world, truth, odom,
+                                                  cfg=cfg, range_max=12.0,
+                                                  n_beams=600)
+            mapper.loop_closure()
+            g = mapper.graph
+            results[batched] = dict(
+                begin=g.constraint_begin.copy(), end=g.constraint_end.copy(),
+                switchable=g.constraint_switchable.copy(),
+                accepted=mapper.stats.loop_closures_accepted,
+                decisions=list(mapper.lc_log["decisions"]))
+
+        seq, bat = results[False], results[True]
+        assert bat["accepted"] == seq["accepted"] >= 1
+        np.testing.assert_array_equal(bat["begin"], seq["begin"])
+        np.testing.assert_array_equal(bat["end"], seq["end"])
+        # At most one accepted closure per (query, pass): the accepted
+        # (query -> candidate) pairs must have unique queries within each
+        # pass; across the whole session a query may close at most once per
+        # pass, so duplicates of (idx, i) must not appear at all.
+        accepted_pairs = [(idx, i) for idx, i, _, _, ok in bat["decisions"]
+                          if ok]
+        assert len(accepted_pairs) == len(set(accepted_pairs))
+
+
 class TestPipelinedLoopClosure:
     """config.pipeline_loop_closure: the whole-pass pipelined confirmation
     (dispatch all pending scans, then drain; mapper._loop_closure_pass_
