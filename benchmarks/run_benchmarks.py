@@ -275,14 +275,22 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
                      loop_closure_every=20, loop_search=loop_search,
                      minimum_travel_distance=0.3)
     if loop_search == "descriptor":
-        # Descriptor candidates are drift-agnostic BY DESIGN, so a wrong
-        # correspondence can pass the score gate; the redescending loss on
-        # switchable edges switches such outliers off in the solve (the
-        # "switchable" semantics the reference stores but never uses,
-        # ceres_solver.cpp:159-166).
+        # The measured round-4 descriptor recipe (BASELINE.md round 4 /
+        # lc_pr_results.json): redescending loss on switchable edges (a
+        # drift-agnostic wrong correspondence can pass the score gate),
+        # gate 0.85 + region-3 windows + Newton-polished global matcher
+        # (the recall/ATE-dominant combination), and best-accept + the
+        # 1.5 m separation gate (the precision levers that keep the
+        # wide-heading coarse lattice's false aliases out of the graph).
         from ndt_2d_tpu.config import SolverConfig
-        cfg = dc.replace(cfg, solver=dc.replace(
-            SolverConfig(), robust_loss="geman_mcclure"))
+        cfg = dc.replace(
+            cfg, solver=dc.replace(SolverConfig(),
+                                   robust_loss="geman_mcclure"),
+            loop_closure_gate_scale=0.85, loop_closure_region_size=3,
+            loop_closure_accept="best", loop_closure_max_separation=1.5,
+            loop_closure_solve_before_reanchor=True,
+            global_scan_matcher=dc.replace(global_mcfg,
+                                           refine_iterations=8))
     import jax
 
     def run_session(session_cfg):
@@ -716,14 +724,20 @@ def bench_config9(quick: bool) -> dict:
         search_linear_resolution=0.01, search_angular_size=0.05,
         grid_cells_x=160, grid_cells_y=160)
     from ndt_2d_tpu.config import SolverConfig
-    cfg = dc.replace(_mapper_config(), global_scan_matcher=global_mcfg,
+    cfg = dc.replace(_mapper_config(),
                      global_search_size=4.0, optimization_node_limit=10,
                      loop_closure_every=20, minimum_travel_distance=0.3,
                      max_range=10.0, max_inflight=8,
-                     # Loosened gate + redescending loss: admit closures
-                     # within 85% of typical match quality and let the
-                     # solver switch off any wrong one (config.py notes).
-                     loop_closure_gate_scale=0.85,
+                     # Round-4 measured simlab recipe (lc_pr_results.json /
+                     # BASELINE.md round 4): region-3 windows + Newton
+                     # polish score well enough that the PARITY gate (1.0)
+                     # keeps precision at 0.985 with recall 0.66 — the
+                     # round-3 loosened gate (0.85) over-accepts with the
+                     # denser regions.  Redescending loss stays on.
+                     loop_closure_gate_scale=1.0,
+                     loop_closure_region_size=3,
+                     global_scan_matcher=dc.replace(global_mcfg,
+                                                    refine_iterations=8),
                      solver=dc.replace(SolverConfig(),
                                        robust_loss="geman_mcclure"))
     mapper = Mapper(cfg)

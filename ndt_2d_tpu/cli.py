@@ -106,7 +106,8 @@ def _mapper_config(args):
               "optimization_node_limit", "loop_closure_every",
               "max_points_per_scan", "loop_search", "scan_matcher_type",
               "max_inflight", "loop_closure_region_size",
-              "loop_closure_accept", "loop_closure_max_separation"):
+              "loop_closure_accept", "loop_closure_max_separation",
+              "loop_closure_solve_before_reanchor"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -471,6 +472,12 @@ def main(argv=None) -> int:
                        default=None, dest="descriptor_min_similarity",
                        help="cosine cutoff for descriptor loop-closure "
                             "candidates (loop-search descriptor/both)")
+        p.add_argument("--loop-closure-solve-before-reanchor",
+                       action="store_true", default=None,
+                       dest="loop_closure_solve_before_reanchor",
+                       help="robust-solve before re-anchoring the tracker "
+                            "on a newest-scan closure (recommended with "
+                            "descriptor/both candidates)")
         p.add_argument("--scan-matcher-type", default=None,
                        dest="scan_matcher_type",
                        help="matcher plugin (ndt_mapper.cpp:91-92): ndt, "

@@ -248,6 +248,18 @@ class MapperConfig:
     # parity: its gate is score-only, ndt_mapper.cpp:645).
     loop_closure_max_separation: float = float("inf")
 
+    # Run a pose-graph solve BEFORE re-anchoring the tracker when an
+    # accepted closure targets the NEWEST scan.  The reference rewrites the
+    # scan's pose and never updates its tracker (ndt_mapper.cpp:651 vs
+    # :541-545); our tracker re-anchors on the rewritten pose, so a single
+    # wrong far closure (an appearance alias) would otherwise inject its
+    # jump straight into the pose chain.  With this flag the robust solve
+    # arbitrates first — a switched-off alias edge leaves the consensus
+    # pose in place and the re-anchor is harmless.  Off by default (parity:
+    # solves happen only on the optimization cadence); enabled in the
+    # tuned descriptor/both recipes where far candidates exist.
+    loop_closure_solve_before_reanchor: bool = False
+
     # Acceptance policy within one query's candidate list: "first" = the
     # reference's iteration order (accept any candidate passing the gate as
     # it is reached, ndt_mapper.cpp:645-663); "best" = evaluate only the
@@ -278,9 +290,13 @@ class MapperConfig:
     # linear one: drift corrupts HEADING too (±0.1 rad covered only 1σ of
     # the 3x-drift office's heading error — far candidates were proposed by
     # the rotation-invariant descriptors and then unconfirmable because the
-    # true rotation sat outside the lattice).  ±0.5 rad @ 0.05 x 41² linear
-    # ≈ the fine lattice's candidate count, so coarse costs about one extra
-    # fine match per far row.
+    # true rotation sat outside the lattice).  The LINEAR reach, by
+    # contrast, covers the query's offset RELATIVE to the candidate (the
+    # start pose sits at the candidate's own position, so global drift
+    # largely cancels); ±2.0 m @ 0.1 is the measured-safe reach — a ±1.5 m
+    # variant let a 12 m-separation alias through the gates on the config-6
+    # benchmark (one catastrophic closure, final ATE 5.9) while ±2.0
+    # confirmed cleanly (0.095).
     coarse_scan_matcher: ScanMatcherConfig = dataclasses.field(
         default_factory=lambda: ScanMatcherConfig(
             ndt_resolution=0.5, search_linear_size=2.0,

@@ -1129,7 +1129,17 @@ class Mapper:
             self._window_synced = -1
             if idx == g.num_scans - 1:
                 # The closure moved the newest keyframe: the dead-reckoning
-                # chain must follow it (see _reanchor_pose).
+                # chain must follow it (see _reanchor_pose).  Optionally let
+                # the robust solve arbitrate FIRST, so a wrong far closure
+                # (appearance alias) is switched off before its jump enters
+                # the pose chain (config.loop_closure_solve_before_reanchor;
+                # measured: one such alias sent the pipelined descriptor
+                # benchmark from 0.14 to 5.6 m ATE).
+                if self.config.loop_closure_solve_before_reanchor:
+                    with self.stats.timer.section("optimize"):
+                        if self._solve_graph():
+                            self.stats.optimizations += 1
+                            self.optimization_last = g.num_scans
                 self._reanchor_pose()
             return True
         self.stats.loop_closures_rejected += 1
