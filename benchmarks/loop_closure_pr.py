@@ -58,6 +58,129 @@ def label_revisits(truth_xy: np.ndarray, exclude: int, r_gt: float):
     return out
 
 
+def _rel_transform(pa, pb):
+    """Relative transform of pb in pa's frame (constraint.cpp:35-56 math)."""
+    c, s = np.cos(pa[2]), np.sin(pa[2])
+    d = pb[:2] - pa[:2]
+    dth = pb[2] - pa[2]
+    return np.asarray([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                       np.arctan2(np.sin(dth), np.cos(dth))])
+
+
+def transform_error_rows(mapper, truth_used: np.ndarray,
+                         tol_m: float = 0.3, tol_rad: float = 0.05):
+    """Per accepted-closure transform error vs truth (VERDICT r4 #2).
+
+    An accepted closure is transform-TRUE iff the switchable constraint's
+    relative transform matches the TRUTH relative transform of its
+    (begin, end) pair within (tol_m, tol_rad) — the criterion that decides
+    map quality, unlike 1 m-truth-separation set membership (a confident
+    geometric match between scans taken 1-3 m apart is a GOOD edge and
+    was scored false by the old criterion).  Returns a list of
+    (begin, end, pos_err_m, ang_err_rad, is_true) rows.
+    """
+    g = mapper.graph
+    n = len(truth_used)
+    rows = []
+    for c in range(g.num_constraints):
+        if not g.constraint_switchable[c]:
+            continue
+        b, e = int(g.constraint_begin[c]), int(g.constraint_end[c])
+        if b >= n or e >= n:
+            continue
+        t_est = np.asarray(g.constraint_transform[c], float)
+        t_true = _rel_transform(truth_used[b], truth_used[e])
+        pos_err = float(np.hypot(*(t_est[:2] - t_true[:2])))
+        ang_err = float(abs(np.arctan2(np.sin(t_est[2] - t_true[2]),
+                                       np.cos(t_est[2] - t_true[2]))))
+        rows.append((b, e, pos_err, ang_err,
+                     pos_err < tol_m and ang_err < tol_rad))
+    return rows
+
+
+def attribute_misses(mapper, truth_used: np.ndarray, revisits, queries,
+                     cands, cand_query_xy):
+    """Per-cause attribution of revisit queries whose proposal list never
+    contained a true revisit (VERDICT r4 #5: the simlab candidate-recall
+    ceiling).  Causes, checked in order per missed query:
+
+      no_points     every true revisit is a point-less scan (dropped,
+                    ndt_mapper.cpp:625 parity)
+      radius_reach  radius source: every true revisit's barycenter lies
+                    beyond the squared-radius bound of the AT-QUERY-TIME
+                    search position (drift pushed the estimate out of
+                    reach)
+      radius_rank   a true revisit was within reach but crowded out of the
+                    global_search_limit-capped list by nearer candidates
+      desc_sim      descriptor source: every true revisit's similarity is
+                    below descriptor_min_similarity
+      desc_rank     similarity passes but not within the top-k
+      other         none of the above (e.g. query never reached a
+                    loop-closure pass)
+    """
+    cfg = mapper.config
+    g = mapper.graph
+    mode = cfg.loop_search
+    counts = {}
+    n = len(truth_used)
+
+    desc_sims = None
+    if mode in ("descriptor", "both"):
+        import jax.numpy as jnp
+
+        from ndt_2d_tpu.parallel import loop_search
+        desc = np.asarray(loop_search.descriptors(
+            g.points_padded, g.point_mask_padded,
+            np.float32(mapper.range_max), cfg.descriptor_bins))
+        norm = np.linalg.norm(desc, axis=-1, keepdims=True)
+        dn = desc / np.maximum(norm, 1e-9)
+        desc_sims = dn @ dn.T  # [N, N] cosine similarity
+
+    bary = g.barycenters() if g.use_barycenter else g.poses[:, :2]
+    missed = []
+    for idx in sorted(queries):
+        if cands.get(idx) and (cands[idx] & revisits[idx]):
+            continue  # hit
+        true_set = [i for i in revisits[idx] if i < n]
+        if idx not in cand_query_xy:
+            counts["other"] = counts.get("other", 0) + 1
+            missed.append((idx, "other"))
+            continue
+        if not any(g.point_mask[i].any() for i in true_set):
+            counts["no_points"] = counts.get("no_points", 0) + 1
+            missed.append((idx, "no_points"))
+            continue
+        cause = "other"
+        if mode in ("radius", "both"):
+            q = np.asarray(cand_query_xy[idx])
+            d2 = {i: float(np.sum((bary[i] - q) ** 2)) for i in true_set
+                  if g.point_mask[i].any()}
+            in_reach = [i for i, d in d2.items()
+                        if d < cfg.global_search_size]
+            if not in_reach:
+                cause = "radius_reach"
+            else:
+                cause = "radius_rank"
+        if mode in ("descriptor", "both") and cause in ("other",
+                                                        "radius_reach"):
+            # The descriptor source could still have proposed it.
+            sims = [float(desc_sims[idx, i]) for i in true_set
+                    if g.point_mask[i].any()]
+            if sims and max(sims) < cfg.descriptor_min_similarity:
+                cause = "desc_sim"
+            elif sims:
+                # Rank among all valid earlier-than-rolling scans.
+                limit = idx - cfg.rolling_depth
+                row = desc_sims[idx, :max(limit, 0)]
+                rank = int(np.sum(row > max(sims)))
+                cause = ("desc_rank" if rank >= cfg.global_search_limit
+                         else ("radius_reach" if mode == "both"
+                               else "other"))
+        counts[cause] = counts.get(cause, 0) + 1
+        missed.append((idx, cause))
+    return counts, missed
+
+
 def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
     """Recall/precision of one finished session's lc_log vs truth."""
     exclude = mapper.config.rolling_depth + 1
@@ -65,9 +188,12 @@ def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
     queries = {i for i, r in enumerate(revisits) if r}
 
     cands = {}
-    for idx, cc in mapper.lc_log["candidates"]:
+    cand_query_xy = {}
+    for idx, cc, *extra in mapper.lc_log["candidates"]:
         if idx < len(revisits):
             cands.setdefault(idx, set()).update(cc)
+            if extra:
+                cand_query_xy[idx] = extra[0]
     hit_queries = {idx for idx in queries
                    if cands.get(idx) and (cands[idx] & revisits[idx])}
 
@@ -90,14 +216,32 @@ def score_session(mapper, truth_used: np.ndarray, r_gt: float = 1.0):
                                        - truth_used[i, :2]))
                   for idx, i in accepted if i not in revisits[idx]]
 
+    # Transform-error criterion (round 5): precision over accepted edges
+    # and closure recall counting only transform-true edges.
+    tf_rows = transform_error_rows(mapper, truth_used)
+    tf_true = [(b, e) for b, e, _, _, ok in tf_rows if ok]
+    tf_closed = {e for _, e in tf_true}
+    tf_pos_errs = [p for _, _, p, _, _ in tf_rows]
+
+    miss_counts, _ = attribute_misses(mapper, truth_used, revisits, queries,
+                                      cands, cand_query_xy)
+
     return {
         "revisit_queries": len(queries),
         "candidate_recall": round(len(hit_queries) / max(len(queries), 1), 3),
+        "miss_causes": miss_counts or None,
         "accepted": len(accepted),
         "confirmation_precision": round(
             len(true_accepted) / max(len(accepted), 1), 3),
         "closure_recall": round(
             len(closed_queries & queries) / max(len(queries), 1), 3),
+        "tf_precision": round(len(tf_true) / max(len(tf_rows), 1), 3),
+        "tf_closure_recall": round(
+            len(tf_closed & queries) / max(len(queries), 1), 3),
+        "tf_pos_err_median_m": round(float(np.median(tf_pos_errs)), 3)
+        if tf_pos_errs else None,
+        "tf_pos_err_max_m": round(float(np.max(tf_pos_errs)), 3)
+        if tf_pos_errs else None,
         "true_pair_scored_queries": len(true_scored & queries),
         "true_pair_gate_pass_queries": len(true_passing & queries),
         "false_sep_median_m": round(float(np.median(false_seps)), 2)
@@ -153,6 +297,8 @@ def run_office(loop_search: str, gate_scale: float, min_sim: float,
         ate_rmse_m=round(metrics.ate_rmse(final, used_truth), 4),
         ate_aligned_m=round(metrics.ate_rmse_aligned(final, used_truth), 4),
         odom_only_ate_m=round(metrics.ate_rmse(bag.odom, bag.truth), 4),
+        far_rows_pruned=mapper.stats.far_rows_pruned,
+        far_rows_cache_skipped=mapper.stats.far_rows_cache_skipped,
         wall_s=round(wall, 1))
     return row
 
@@ -203,6 +349,8 @@ def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None,
         ate_rmse_m=round(metrics.ate_rmse(final, used_truth), 4),
         ate_aligned_m=round(metrics.ate_rmse_aligned(final, used_truth), 4),
         odom_only_ate_m=round(metrics.ate_rmse(bag.odom[:n], truth[:n]), 4),
+        far_rows_pruned=mapper.stats.far_rows_pruned,
+        far_rows_cache_skipped=mapper.stats.far_rows_cache_skipped,
         wall_s=round(wall, 1))
     return row
 
@@ -213,7 +361,8 @@ def main(argv=None) -> int:
     ap.add_argument("--scenario", default="all",
                     choices=["office", "office_drift", "simlab", "all",
                              "round4", "round4b", "round4c", "round4d",
-                             "round4e"])
+                             "round4e", "round5", "round5prune",
+                             "round5simlab"])
     args = ap.parse_args(argv)
 
     from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
@@ -399,6 +548,88 @@ def main(argv=None) -> int:
                 run_office("both", 0.85, sim_t, 3.0, n_office,
                            recipe=rb, gm=N8),
                 recipe=f"wide+best+sep{sep}+k{k}")
+
+    if args.scenario == "round5":
+        # VERDICT r4 #2: the round-4 office operating points re-scored on
+        # the transform-error criterion (tf_precision / tf_closure_recall
+        # now emitted by score_session for every row).
+        N8 = {"refine_iterations": 8}
+        R3 = {"loop_closure_region_size": 3}
+        RB = {"loop_closure_region_size": 3, "loop_closure_accept": "best",
+              "loop_closure_max_separation": 1.5}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        tag("office", "radius", 0.85, None,
+            run_office("radius", 0.85, 0.95, 1.0, n_office,
+                       recipe=R3, gm=N8), recipe="region3+newton")
+        tag("office", "radius", 0.95, None,
+            run_office("radius", 0.95, 0.95, 1.0, n_office,
+                       recipe=RB, gm=N8),
+            recipe="region3+newton+best+sep1.5")
+        tag("simlab", "radius", 1.0, None,
+            run_simlab(1.0, "radius", 0.95, n_simlab, recipe=R3, gm=N8),
+            recipe="region3+newton")
+
+    if args.scenario == "round5simlab":
+        # VERDICT r4 #5: lift the simlab candidate-recall ceiling.  The
+        # baseline row's miss_causes attribution picks the lever; the
+        # sweep then measures the candidate fixes (larger squared radius,
+        # higher candidate cap, descriptor union).
+        N8 = {"refine_iterations": 8}
+        R3 = {"loop_closure_region_size": 3}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for rname, mode, sim_t, extra in (
+                ("r4-baseline", "radius", None, {}),
+                ("radius9", "radius", None, {"global_search_size": 9.0}),
+                ("radius9+k8", "radius", None,
+                 {"global_search_size": 9.0, "global_search_limit": 8}),
+                ("both+k8", "both", 0.90,
+                 {"global_search_limit": 8,
+                  "loop_closure_far_dedup": 1.5,
+                  "loop_closure_reject_cache_margin": 0.05})):
+            tag("simlab", mode, 1.0, sim_t,
+                run_simlab(1.0, mode, sim_t or 0.95, n_simlab,
+                           recipe={**R3, **extra}, gm=N8), recipe=rname)
+
+    if args.scenario == "round5prune":
+        # VERDICT r4 #1: the descriptor-mode wall.  A/B the far-row
+        # pruning levers on the config-6-shaped office descriptor recipe;
+        # the full-size result lands in run_benchmarks config 6.
+        N8 = {"refine_iterations": 8}
+        base = {"loop_closure_region_size": 3,
+                "loop_closure_accept": "best",
+                "loop_closure_max_separation": 1.5}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        for rname, extra in (
+                ("noprune", {}),
+                ("dedup1.5", {"loop_closure_far_dedup": 1.5}),
+                ("dedup1.5+cache.05",
+                 {"loop_closure_far_dedup": 1.5,
+                  "loop_closure_reject_cache_margin": 0.05}),
+                ("dedup2.5+cache.10+cap16",
+                 {"loop_closure_far_dedup": 2.5,
+                  "loop_closure_reject_cache_margin": 0.10,
+                  "loop_closure_max_far_rows": 16})):
+            tag("office", "descriptor", 0.85, 0.90,
+                run_office("descriptor", 0.85, 0.90, 1.0, n_office,
+                           recipe={**base, **extra}, gm=N8), recipe=rname)
 
     existing = []
     if os.path.exists(RESULTS):

@@ -153,11 +153,20 @@ def _run_session(args, localize: bool) -> int:
     if getattr(args, "distributed", False):
         # Multi-process mesh: join the jax.distributed runtime (coordinator
         # etc. from NDT2D_DIST_* env vars) and span ALL processes' devices.
+        # An explicit --mesh smaller than the global device count would
+        # cover only the first processes' devices; the remaining processes
+        # would then each take the single-process path and diverge, so the
+        # mesh is forced to span everything.
         from ndt_2d_tpu.parallel import distributed, mesh as mesh_mod
         distributed.initialize()
         import jax
-        mesh = mesh_mod.make_mesh(getattr(args, "mesh", None)
-                                  or jax.device_count())
+        requested = getattr(args, "mesh", None)
+        if requested and requested != jax.device_count():
+            print(json.dumps({
+                "warning": f"--distributed forces the mesh over all "
+                           f"{jax.device_count()} global devices; "
+                           f"ignoring --mesh {requested}"}))
+        mesh = mesh_mod.make_mesh(jax.device_count())
     elif getattr(args, "mesh", None):
         from ndt_2d_tpu.parallel import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.mesh)

@@ -255,17 +255,22 @@ class MapperConfig:
     # wrong far closure (an appearance alias) would otherwise inject its
     # jump straight into the pose chain.  With this flag the robust solve
     # arbitrates first — a switched-off alias edge leaves the consensus
-    # pose in place and the re-anchor is harmless.  Off by default (parity:
-    # solves happen only on the optimization cadence); enabled in the
-    # tuned descriptor/both recipes where far candidates exist.
-    loop_closure_solve_before_reanchor: bool = False
+    # pose in place and the re-anchor is harmless.  ON by default since
+    # round 5: measured bitwise-neutral when the mechanism does not fire
+    # (BASELINE.md round 4 robustness note) and it prevents a measured
+    # 5.6 m ATE failure when it does
+    # (tests/test_mapper_e2e.py::TestSolveBeforeReanchor).  Deliberate
+    # deviation from reference parity (docs/PARITY.md); set False for the
+    # reference's re-anchor-first behavior.
+    loop_closure_solve_before_reanchor: bool = True
 
     # Acceptance policy within one query's candidate list: "first" = the
     # reference's iteration order (accept any candidate passing the gate as
-    # it is reached, ndt_mapper.cpp:645-663); "best" = evaluate only the
-    # best-scoring candidate against the gate and add at most ONE closure
-    # per query per pass — a precision lever when dense confirmation
-    # regions let several geometric near-matches through the gate.
+    # it is reached, ndt_mapper.cpp:645-663); "best" = candidates face the
+    # gates in score order (best first, falling through to the next-best on
+    # a rejection) and at most ONE closure is added per query per pass — a
+    # precision lever when dense confirmation regions let several geometric
+    # near-matches through the gate.
     loop_closure_accept: str = "first"
 
     # Scans per loop-closure candidate region (the NDT the query is matched
@@ -276,6 +281,37 @@ class MapperConfig:
     # (measured: 3 lifts office confirmation precision/recall — see
     # BASELINE.md round 4 and benchmarks/lc_pr_results.json).
     loop_closure_region_size: int = 2
+
+    # --- far-candidate (coarse-stage) pruning (round 5) ---
+    # The expensive arm of a descriptor-mode loop-closure pass is the FAR
+    # rows: candidates beyond the radius-search reach run the wide coarse
+    # lattice (~85 MB of intermediates per row).  On repeating geometry
+    # most far rows are appearance ALIASES of the same few sites, proposed
+    # again by every query of the pass and confirmed only to be rejected
+    # (measured: 24x the radius-mode wall on the office benchmark,
+    # BASELINE.md round 4).  Two pruning levers, applied before dispatch:
+    #
+    # Spatial dedup within one pipelined pass: among far rows whose query
+    # AND candidate positions both lie within this radius (meters) of an
+    # already-selected row's, only the highest-descriptor-similarity row
+    # dispatches — one representative confirmation per (query region,
+    # candidate region) pair per pass.  An acceptance restarts the pass
+    # from the corrected graph (unchanged), so true revisits suppressed in
+    # one pass get re-proposed in the restart.  0 = off (dispatch every
+    # row; reference-shaped, the default).
+    loop_closure_far_dedup: float = 0.0
+    # Cross-pass negative cache: a far pair whose confirmation CLEARLY
+    # missed the score gate (score - gate >= margin * |gate|, or a
+    # non-finite score) marks its (query cell, candidate cell) pair — at
+    # loop_closure_far_dedup (else 2 m) granularity — and nearby queries
+    # skip proposing that site until the cache invalidates (any accepted
+    # closure or optimization clears it, since graph corrections change
+    # the coarse start poses).  0 = off (the default).
+    loop_closure_reject_cache_margin: float = 0.0
+    # Hard per-pass cap on far rows, ranked by descriptor similarity
+    # (strongest proposals first).  0 = unlimited (the default).
+    loop_closure_max_far_rows: int = 0
+
     descriptor_bins: int = 32
     # Tuned on the 3x-drift office recall benchmark (benchmarks/
     # loop_closure_pr.py, lc_pr_results.json): with DC-free ring

@@ -183,6 +183,13 @@ class Mapper:
         self._approx_pose = None
         # Mesh mode: per-pass all-to-all descriptor top-k cache.
         self._desc_topk = None
+        # Far-candidate pruning state (config.loop_closure_far_dedup /
+        # _reject_cache_margin): last-seen descriptor similarity per
+        # (query, candidate) row (cleared per pass) and the cross-pass
+        # negative cache of clearly-rejected far (query cell, candidate
+        # cell) pairs (cleared on any acceptance / optimization).
+        self._desc_sim = {}
+        self._reject_cache = {}
 
     # ------------------------------------------------------------------
     def _ensure_matchers(self, msg_range_max: float) -> None:
@@ -923,6 +930,7 @@ class Mapper:
         added = 0
         desc_table = desc_valid = None
         self._desc_topk = None
+        self._desc_sim = {}
         if self.config.loop_search in ("descriptor", "both") and num_scans:
             # Appearance-based candidates: batched rotation-invariant
             # descriptors + cosine top-k (ndt_2d_tpu.parallel.loop_search).
@@ -974,6 +982,7 @@ class Mapper:
             self.optimization_last = g.num_scans
             self.map_update_available = True
             self._window_synced = -1  # optimized poses invalidate the window
+            self._reject_cache.clear()  # optimized poses move far starts
             self._reanchor_pose()
         return added
 
@@ -1013,9 +1022,9 @@ class Mapper:
         limit = self.config.global_search_limit
         rolling = idx - self.config.rolling_depth
         out = []
+        query = (g.barycenters()[idx] if g.use_barycenter
+                 else g.poses[idx, :2])
         if mode in ("radius", "both"):
-            query = (g.barycenters()[idx] if g.use_barycenter
-                     else g.poses[idx, :2])
             near = g.find_nearest(query, self.config.global_search_size,
                                   rolling)
             out = [int(i) for i in near if g.point_mask[int(i)].any()][:limit]
@@ -1035,13 +1044,33 @@ class Mapper:
             cand_sim = np.asarray(cand_sim)
             keep = (np.isfinite(cand_sim)
                     & (cand_sim >= self.config.descriptor_min_similarity))
-            desc_out = [int(i) for i in cand_idx[keep]
-                        if g.point_mask[int(i)].any()][:limit]
+            desc_out = []
+            for i, s in zip(cand_idx[keep], cand_sim[keep]):
+                i = int(i)
+                if not g.point_mask[i].any():
+                    continue
+                if len(desc_out) >= limit:
+                    break
+                # Cross-pass negative cache: skip far sites whose
+                # confirmation clearly failed for a nearby query already
+                # (config.loop_closure_reject_cache_margin).
+                if (self._reject_cache and self._is_far(idx, i)
+                        and self._far_key(idx, i) in self._reject_cache):
+                    self.stats.far_rows_cache_skipped += 1
+                    continue
+                desc_out.append(i)
+                self._desc_sim[(idx, i)] = float(s)
             # "both": union, radius proposals first (they carry the precise
             # start pose), descriptor extras deduped after — one combined
             # confirmation pass handles all of them.
             out.extend(i for i in desc_out if i not in out)
-        self.lc_log["candidates"].append((idx, tuple(out)))
+        # Third element: the AT-QUERY-TIME search position (map-frame
+        # barycenter/pose under the then-current drift) — what the radius
+        # search actually saw; the recall benchmark's miss attribution
+        # needs it because the final optimized poses no longer carry the
+        # drift that caused a reach miss.
+        self.lc_log["candidates"].append((idx, tuple(out),
+                                          tuple(np.asarray(query, float))))
         return out
 
     def _candidate_window(self, i: int, rolling: int):
@@ -1093,6 +1122,69 @@ class Mapper:
                 return st, True
         return st, False
 
+    # --- far-candidate pruning (config.loop_closure_far_dedup etc.) -------
+    def _is_far(self, idx: int, i: int) -> bool:
+        """Whether candidate ``i`` of query ``idx`` would take the FAR
+        (coarse-to-fine) confirmation arm — the same squared-distance test
+        _candidate_start applies."""
+        if self.coarse_matcher is None:
+            return False
+        g = self.graph
+        d2 = float(np.sum((g.poses[i, :2] - g.poses[idx, :2]) ** 2))
+        return d2 > self.config.global_search_size
+
+    def _far_key(self, idx: int, i: int):
+        """Spatial cell key of a far (query, candidate) pair for the
+        negative cache: positions quantized at the dedup radius."""
+        cell = self.config.loop_closure_far_dedup or 2.0
+        g = self.graph
+        q = g.poses[idx, :2] / cell
+        c = g.poses[i, :2] / cell
+        return (int(np.floor(q[0])), int(np.floor(q[1])),
+                int(np.floor(c[0])), int(np.floor(c[1])))
+
+    def _prune_far_pass(self, pending: list) -> list:
+        """Per-pass spatial dedup + cap of FAR rows (see config.py).
+
+        ``pending`` is the pass's [(query, [candidates])] list.  Near rows
+        always survive.  Far rows are ranked by descriptor similarity;
+        a row is dropped when an already-selected far row has BOTH its
+        query and candidate within loop_closure_far_dedup meters (one
+        representative confirmation per site pair per pass), or once
+        loop_closure_max_far_rows is reached."""
+        ded = self.config.loop_closure_far_dedup
+        cap = self.config.loop_closure_max_far_rows
+        if (ded <= 0 and cap <= 0) or self.coarse_matcher is None:
+            return pending
+        g = self.graph
+        far = []
+        for j, cands in pending:
+            for i in cands:
+                if self._is_far(j, i):
+                    far.append((self._desc_sim.get((j, i), 0.0), j, i))
+        if not far:
+            return pending
+        selected = set()
+        sel_pos = []
+        for sim, j, i in sorted(far, key=lambda r: -r[0]):
+            if cap > 0 and len(selected) >= cap:
+                break
+            qp, cp = g.poses[j, :2], g.poses[i, :2]
+            if ded > 0 and any(
+                    np.hypot(*(qp - sq)) < ded and np.hypot(*(cp - sc)) < ded
+                    for sq, sc in sel_pos):
+                continue
+            selected.add((j, i))
+            sel_pos.append((qp.copy(), cp.copy()))
+        self.stats.far_rows_pruned += len(far) - len(selected)
+        out = []
+        for j, cands in pending:
+            kept = [i for i in cands
+                    if not self._is_far(j, i) or (j, i) in selected]
+            if kept:
+                out.append((j, kept))
+        return out
+
     def _apply_gate(self, idx: int, i: int, start, score: float, correction,
                     covariance) -> bool:
         """Acceptance gate + graph update for one confirmed candidate
@@ -1112,7 +1204,19 @@ class Mapper:
             accepted = sep <= self.config.loop_closure_max_separation
         self.lc_log["decisions"].append((idx, i, float(score), float(gate),
                                          accepted))
+        margin = self.config.loop_closure_reject_cache_margin
+        if not accepted and margin > 0 and self._is_far(idx, i):
+            # Negative cache: remember clear far rejections so nearby
+            # queries stop re-confirming the same alias site (see
+            # config.loop_closure_reject_cache_margin).
+            if (not np.isfinite(score)
+                    or score - gate >= margin * abs(gate)):
+                self._reject_cache[self._far_key(idx, i)] = float(score)
         if accepted:
+            # Graph corrections change far starts/classification: drop the
+            # negative cache rather than risk suppressing a now-confirmable
+            # true revisit.
+            self._reject_cache.clear()
             self.stats.loop_closures_accepted += 1
             logger.info("***Adding loop closure from %d to %d (score %f)",
                         i, idx, score)
@@ -1179,8 +1283,9 @@ class Mapper:
                     cands = self._loop_candidates(j, desc_table, desc_valid)
                     if cands:
                         pending.append((j, cands))
-                        rows.extend((j, i) for i in cands)
                 self.global_scans_processed = num_scans
+                pending = self._prune_far_pass(pending)
+                rows = [(j, i) for j, cands in pending for i in cands]
                 if not rows:
                     break
                 starts, segments = self._dispatch_confirm_rows(rows)
@@ -1467,6 +1572,7 @@ class Mapper:
             self.optimization_last = self.graph.num_scans
             self.map_update_available = True
             self._window_synced = -1
+            self._reject_cache.clear()
             self._reanchor_pose()
         return ok
 

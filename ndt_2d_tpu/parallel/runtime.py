@@ -222,6 +222,11 @@ def confirm_batch_coarse_fine_multichip(coarse_config: ScanMatcherConfig,
     fdls = (-fine_config.search_linear_size
             + jnp.arange(fine_config.num_linear, dtype=dtype)
             * fine_config.search_linear_resolution)
+    # Per-config subsample, matching the single-device
+    # match_scan_batch_coarse_fine whose match_scan calls subsample with
+    # each stage's own laser_max_beams.
+    cspts, csmask, _ = matcher.subsample(scan_points, scan_mask, num_points,
+                                         coarse_config.laser_max_beams)
     spts, smask, used = matcher.subsample(scan_points, scan_mask, num_points,
                                           fine_config.laser_max_beams)
 
@@ -232,16 +237,16 @@ def confirm_batch_coarse_fine_multichip(coarse_config: ScanMatcherConfig,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(cand_spec, cand_spec, cand_spec, cand_spec, cand_spec,
-                  rep, rep, rep,
+                  rep, rep, rep, rep, rep,
                   ang_spec, ang_spec, rep, ang_spec, ang_spec, rep),
         out_specs=(cand_spec,) * 6, check_vma=False)
-    def _sharded(poses_b, pts_b, pmask_b, wmask_b, starts_b, spts_, smask_,
-                 rmax_, cdths_blk, cvalid_blk, cdls_, fdths_blk, fvalid_blk,
-                 fdls_):
+    def _sharded(poses_b, pts_b, pmask_b, wmask_b, starts_b, cspts_, csmask_,
+                 spts_, smask_, rmax_, cdths_blk, cvalid_blk, cdls_,
+                 fdths_blk, fvalid_blk, fdls_):
         def one(poses_c, pts_c, pmask_c, wmask_c, start):
             cbest, ccorr, _, _, _ = _sharded_match_one(
                 coarse_config, axis_space, poses_c, pts_c, pmask_c, wmask_c,
-                start, spts_, smask_, rmax_, cdths_blk, cvalid_blk, cdls_)
+                start, cspts_, csmask_, rmax_, cdths_blk, cvalid_blk, cdls_)
             # reduce_candidates already zeroes the correction when no
             # candidate scored (< 0), matching the single-device
             # match_scan_batch_coarse_fine's st + cres.correction.
@@ -253,9 +258,9 @@ def confirm_batch_coarse_fine_multichip(coarse_config: ScanMatcherConfig,
         return jax.vmap(one)(poses_b, pts_b, pmask_b, wmask_b, starts_b)
 
     st2, best, corr, k, u, s = _sharded(
-        poses, points, point_mask, window_mask, start_poses, spts, smask,
-        jnp.asarray(range_max, dtype), cdths, cvalid, cdls, fdths, fvalid,
-        fdls)
+        poses, points, point_mask, window_mask, start_poses, cspts, csmask,
+        spts, smask, jnp.asarray(range_max, dtype), cdths, cvalid, cdls,
+        fdths, fvalid, fdls)
     res = jax.vmap(matcher.finalize_match,
                    in_axes=(0, 0, 0, 0, 0, None))(best, corr, k, u, s, used)
     return st2, res.score, res.correction, res.covariance
@@ -286,8 +291,9 @@ def confirm_rows_multichip(config: ScanMatcherConfig, mesh, poses, points,
     """Multi-query confirmation rows sharded over ``batch``, each row's
     angle lattice over ``space`` (the mesh analog of
     matcher.match_scan_batch_multi).  query_points [N, P, 2] /
-    query_mask [N, P] / query_num [N] are per-row.  N must divide
-    mesh.shape[axis_batch].  Returns (scores [N], corrections [N, 3],
+    query_mask [N, P] / query_num [N] are per-row.
+    mesh.shape[axis_batch] must divide N (pad rows with all-False
+    window_mask).  Returns (scores [N], corrections [N, 3],
     covs [N, 3, 3])."""
     n_space = mesh.shape[axis_space]
     dtype = query_points.dtype
@@ -359,11 +365,15 @@ def confirm_rows_coarse_fine_multichip(coarse_config: ScanMatcherConfig,
                  qnum_b, rmax_, cdths_blk, cvalid_blk, cdls_, fdths_blk,
                  fvalid_blk, fdls_):
         def one(poses_c, pts_c, pmask_c, wmask_c, st, qp, qm, qn):
+            # Per-config subsample, matching match_scan_batch_multi_
+            # coarse_fine whose match_scan subsamples per stage.
+            cpts, cmsk, _ = matcher.subsample(
+                qp, qm, qn, coarse_config.laser_max_beams)
             spts, smask, used = matcher.subsample(
                 qp, qm, qn, fine_config.laser_max_beams)
             _, ccorr, _, _, _ = _sharded_match_one(
                 coarse_config, axis_space, poses_c, pts_c, pmask_c, wmask_c,
-                st, spts, smask, rmax_, cdths_blk, cvalid_blk, cdls_)
+                st, cpts, cmsk, rmax_, cdths_blk, cvalid_blk, cdls_)
             st2 = st + ccorr
             best, corr, k, u, s = _sharded_match_one(
                 fine_config, axis_space, poses_c, pts_c, pmask_c, wmask_c,

@@ -59,6 +59,11 @@ class SessionStats:
         self.scans_accepted = 0
         self.loop_closures_accepted = 0
         self.loop_closures_rejected = 0
+        # Far-candidate pruning (config.loop_closure_far_dedup /
+        # _reject_cache_margin): rows dropped by the per-pass spatial dedup
+        # and candidates skipped by the cross-pass negative cache.
+        self.far_rows_pruned = 0
+        self.far_rows_cache_skipped = 0
         self.optimizations = 0
         self.score_sum = 0.0
         self.score_min = 0.0
@@ -81,6 +86,8 @@ class SessionStats:
             "best_match_score": round(self.score_min, 4),
             "loop_closures_accepted": self.loop_closures_accepted,
             "loop_closures_rejected": self.loop_closures_rejected,
+            "far_rows_pruned": self.far_rows_pruned,
+            "far_rows_cache_skipped": self.far_rows_cache_skipped,
             "optimizations": self.optimizations,
             "timing": self.timer.summary(),
         }

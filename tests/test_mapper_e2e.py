@@ -840,3 +840,69 @@ class TestParticleFilterLocalization:
         assert float(loc.filter.w_slow) > 0.0
         assert float(loc.filter.w_fast) > 0.0
 
+
+
+class TestSolveBeforeReanchor:
+    """Default-on alias-reanchor guard (PARITY.md deviation 9).
+
+    Mechanism pinned: an accepted wrong FAR closure on the NEWEST scan
+    rewrites its pose (reference semantics, ndt_mapper.cpp:651) and the
+    dead-reckoning chain re-anchors on the rewrite — without the guard the
+    alias jump enters the pose chain (the measured 0.14 -> 5.6 m config-6
+    failure, BASELINE.md round 4); with ``loop_closure_solve_before_
+    reanchor`` the robust solve arbitrates FIRST, the switched-off alias
+    edge loses to the odometry chain, and the tracker stays anchored.
+    """
+
+    def _mapper_with_chain(self, flag: bool):
+        from ndt_2d_tpu.config import SolverConfig
+        from ndt_2d_tpu.graph import pose_graph
+
+        cfg = dataclasses.replace(
+            CFG,
+            solver=dataclasses.replace(SolverConfig(),
+                                       robust_loss="geman_mcclure"),
+            loop_closure_solve_before_reanchor=flag)
+        mapper = Mapper(cfg)
+        g = mapper.graph
+        pts = np.zeros((cfg.max_points_per_scan, 2), np.float32)
+        mask = np.zeros(cfg.max_points_per_scan, bool)
+        mask[:8] = True
+        # Straight 30-keyframe chain at 0.5 m spacing, tight odometry
+        # constraints: the newest scan's consensus position is (14.5, 0).
+        for k in range(30):
+            g.add_scan(np.asarray([0.5 * k, 0.0, 0.0]), pts, mask)
+            if k:
+                pose_graph.make_constraint_np(
+                    g, k - 1, k, np.diag([1e-4, 1e-4, 1e-5]))
+        mapper.prev_robot_pose = g.poses[g.num_scans - 1].copy()
+        mapper.prev_odom_pose = mapper.prev_robot_pose.copy()
+        return mapper
+
+    @pytest.mark.parametrize("flag,expect_jump", [(False, True),
+                                                  (True, False)])
+    def test_alias_closure_on_newest_scan(self, flag, expect_jump):
+        mapper = self._mapper_with_chain(flag)
+        g = mapper.graph
+        idx = g.num_scans - 1          # the newest scan
+        alias = 5                      # a 12 m appearance alias
+        start = g.poses[idx].copy()
+        true_pos = start[:2].copy()
+        # Fabricated confirmed match (score passes the EWMA gate): the
+        # correction lands the query exactly on the alias keyframe.
+        correction = g.poses[alias] - start
+        accepted = mapper._apply_gate(
+            idx, alias, start, -1.0, correction,
+            np.diag([1e-3, 1e-3, 1e-4]))
+        assert accepted  # the gate cannot tell an alias from a revisit
+
+        jump = float(np.linalg.norm(mapper.prev_robot_pose[:2] - true_pos))
+        if expect_jump:
+            # Reference behavior: the tracker re-anchored on the alias.
+            assert jump > 8.0, jump
+        else:
+            # Guard: the robust solve restored the consensus pose before
+            # the re-anchor; the alias edge was switched off.
+            assert jump < 1.0, jump
+            assert float(np.linalg.norm(
+                g.poses[idx, :2] - true_pos)) < 1.0
