@@ -183,6 +183,14 @@ class MapperConfig:
     max_scans: int = 4096                    # padded keyframe capacity
     max_constraints: int = 8192
 
+    # Grow a matcher's static NDT grid when a session outgrows it, instead
+    # of raising: the tripped matcher is rebuilt at the next 32-cell
+    # multiple that fits (one amortized recompile), matching the
+    # reference's dynamic per-window sizing that can never overflow
+    # (scan_matcher_ndt.cpp:52-67).  False = raise with sizing advice (the
+    # rounds-1..4 behavior; predictable compilation signatures).
+    auto_grow_grids: bool = True
+
     # Cadence of the (synchronous) loop-closure pass, in accepted scans.  The
     # reference runs it on a 1 Hz background thread (ndt_mapper.cpp:573); our
     # host loop is single-threaded and deterministic instead.

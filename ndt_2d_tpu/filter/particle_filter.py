@@ -352,7 +352,8 @@ class ParticleFilter:
             c.odom_alpha1, c.odom_alpha2, c.odom_alpha3, c.odom_alpha4)
         self._refresh_statistics()
 
-    def measure(self, matcher, points, point_mask, num_points, mesh=None):
+    def measure(self, matcher, points, point_mask, num_points, mesh=None,
+                host_grid=None):
         """Measurement update: weight_i = scorePoints(scan, particle_i)
         (particle_filter.cpp:78-89).  The raw (negative) NDT score is used
         directly as the weight and becomes positive on normalization, exactly
@@ -367,20 +368,35 @@ class ParticleFilter:
 
         ``mesh``: optional jax mesh — shards the particle axis over the
         'batch' axis (parallel.filter.measure_multichip); pure data
-        parallelism, identical scores.
+        parallelism, identical scores.  ``host_grid``: the grid as
+        host-side arrays — REQUIRED when the mesh spans processes (the
+        matcher's own grid is a process-local device array there); the
+        particle state also feeds as process-replicated numpy and the
+        sharded scores come back via one process_allgather.
         """
         if mesh is not None:
+            from ndt_2d_tpu.parallel import distributed
             from ndt_2d_tpu.parallel import filter as pfilter
             from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
+            multiproc = distributed.is_multiprocess(mesh)
             m = self.particles.shape[0]
             nb = mesh.shape[BATCH_AXIS]
             m_pad = -(-m // nb) * nb
             parts = (jnp.pad(self.particles, ((0, m_pad - m), (0, 0)))
                      if m_pad != m else self.particles)
+            grid = host_grid if host_grid is not None else matcher.grid
+            if multiproc:
+                parts = np.asarray(parts, np.float32)
+                args = (np.asarray(points, np.float32),
+                        np.asarray(point_mask), np.int32(num_points))
+            else:
+                args = (jnp.asarray(points), jnp.asarray(point_mask),
+                        jnp.asarray(num_points))
             scores = pfilter.measure_multichip(
-                matcher.config, mesh, matcher.grid, jnp.asarray(points),
-                jnp.asarray(point_mask), jnp.asarray(num_points),
-                parts)[:m]
+                matcher.config, mesh, grid, *args, parts)
+            if multiproc:
+                scores = jnp.asarray(distributed.fetch(scores))
+            scores = scores[:m]
         else:
             scores = matcher_mod.score_points_batch(
                 matcher.config, matcher.grid, jnp.asarray(points),

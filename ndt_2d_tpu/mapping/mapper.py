@@ -95,12 +95,13 @@ class Mapper:
             whole mesh.  Host-side orchestration (gates, constraints,
             cadences) is identical to the single-device runtime, so the
             decisions — and on exact-reduction paths, the bits — match it.
-            max_inflight composes with a single-process mesh (the pipelined
-            pose chain dispatches the angle-sharded
-            runtime.mapping_step_async_multichip); a MULTI-PROCESS mesh
-            runs the device steps synchronously — its inputs must stay
-            host-side (process-replicated numpy), which precludes the
-            device-resident chain.
+            max_inflight composes with BOTH single- and multi-process
+            meshes (the pipelined pose chain dispatches the angle-sharded
+            runtime.mapping_step_async_multichip; under multi-process the
+            window/pose state threads through as replicated jit-output
+            global arrays while fresh per-scan inputs stay
+            process-replicated numpy — the standard multi-controller
+            training-loop pattern).
         """
         self.config = config
         self.mesh = mesh
@@ -446,24 +447,51 @@ class Mapper:
         return self._window
 
     def _check_grid_capacity(self, poses_xy, cfg, what: str,
-                             remedy: str) -> None:
+                             remedy: str):
         """Static-grid capacity check (the reference sizes its grid
-        dynamically, scan_matcher_ndt.cpp:66; our extent is static)."""
+        dynamically, scan_matcher_ndt.cpp:66; our extent is static).
+
+        Returns None when the window fits.  When it does not:
+        config.auto_grow_grids picks the next 32-multiple extent that fits
+        and returns it as (gx, gy) for the caller to rebuild the matcher
+        with (the reference's never-overflow behavior at one amortized
+        recompile); otherwise raises with sizing advice."""
         if not len(poses_xy):
-            return
+            return None
         span = poses_xy.max(0) - poses_xy.min(0) + 2 * self.range_max
         need = np.ceil(span / cfg.ndt_resolution) + 1
-        if need[0] > cfg.grid_cells_x or need[1] > cfg.grid_cells_y:
+        if need[0] <= cfg.grid_cells_x and need[1] <= cfg.grid_cells_y:
+            return None
+        if not self.config.auto_grow_grids:
             raise ValueError(
                 f"{what} needs {need} cells > static grid "
                 f"({cfg.grid_cells_x}, {cfg.grid_cells_y}); increase "
-                f"{remedy}")
+                f"{remedy} (or set auto_grow_grids)")
+        gx = max(cfg.grid_cells_x, int(-(-int(need[0]) // 32) * 32))
+        gy = max(cfg.grid_cells_y, int(-(-int(need[1]) // 32) * 32))
+        return gx, gy
+
+    def _grow_matcher(self, attr: str, grown) -> None:
+        """Rebuild matcher ``attr`` ('local_matcher'/'global_matcher'/
+        'coarse_matcher') at the grown static extent.  The rebuilt matcher
+        carries no grid state in mapping mode (grids build per dispatch),
+        so only the compiled-program signature changes — one recompile,
+        then the session continues where the static grid used to raise."""
+        m = getattr(self, attr)
+        cfg = dataclasses.replace(m.config, grid_cells_x=grown[0],
+                                  grid_cells_y=grown[1])
+        logger.warning("Auto-growing %s NDT grid %dx%d -> %dx%d cells "
+                       "(one-time recompile)", attr, m.config.grid_cells_x,
+                       m.config.grid_cells_y, grown[0], grown[1])
+        setattr(self, attr, type(m)(cfg, self.range_max))
 
     def _check_window_capacity(self):
         wp = self._window_poses_host[self._window_mask_host]
-        self._check_grid_capacity(wp[:, :2] if len(wp) else wp,
-                                  self.local_matcher.config, "scan window",
-                                  "local_scan_matcher.grid_cells_*")
+        grown = self._check_grid_capacity(
+            wp[:, :2] if len(wp) else wp, self.local_matcher.config,
+            "scan window", "local_scan_matcher.grid_cells_*")
+        if grown:
+            self._grow_matcher("local_matcher", grown)
 
     def _process_mapping(self, robot_pose, odom_pose, points, mask,
                          num_points) -> ScanResult:
@@ -474,7 +502,6 @@ class Mapper:
         from ndt_2d_tpu.matching import matcher as matcher_mod
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
         if (self.config.max_inflight > 0 and self.graph.num_scans
-                and not self._mp
                 and isinstance(self.local_matcher, NDTScanMatcher)):
             # NOTE: robot_pose was dead-reckoned from the host pose mirror,
             # which is stale while results are in flight; the pipelined path
@@ -604,6 +631,13 @@ class Mapper:
         graph asynchronously — always completely before loop closure,
         optimization, map export, save, or a mode switch, so downstream
         consumers see the same graph as the synchronous path.
+
+        Multi-process meshes pipeline too (round 5): the window/pose chain
+        threads through as REPLICATED jit-output global arrays — the
+        standard multi-controller training-loop pattern — while the fresh
+        per-scan inputs stay process-replicated host numpy; drains read
+        the process-local copy of the replicated outputs
+        (distributed.fetch), so no per-scan DCN fetch is added.
         """
         import jax.numpy as jnp
 
@@ -620,12 +654,17 @@ class Mapper:
         if self._pose_dev is None:
             # (Re)start the device pose chain from the exact host estimate
             # (first pipelined scan after the sync first-scan path, or after
-            # a drain-and-invalidate).
+            # a drain-and-invalidate).  Multi-process: host numpy feeds the
+            # mesh program replicated; the chain continues on the returned
+            # global arrays.
             assert not self._pending
-            self._pose_dev = jnp.asarray(self.prev_robot_pose, jnp.float32)
+            self._pose_dev = (
+                np.asarray(self.prev_robot_pose, np.float32) if self._mp
+                else jnp.asarray(self.prev_robot_pose, jnp.float32))
             self._approx_pose = self.prev_robot_pose.copy()
         if self._range_max_dev is None:
-            self._range_max_dev = jnp.float32(self.range_max)
+            self._range_max_dev = (np.float32(self.range_max) if self._mp
+                                   else jnp.float32(self.range_max))
 
         # Odometry motion in the previous ROBOT frame — host-only inputs.
         odom_pose = np.asarray(odom_pose, np.float64)
@@ -646,8 +685,16 @@ class Mapper:
             [self._window_mask_host[1:], np.ones(1, bool)])
         self._check_window_capacity()
 
-        dev_points = jnp.asarray(points, jnp.float32)
-        dev_mask = jnp.asarray(mask)
+        if self._mp:
+            dev_points = np.asarray(points, np.float32)
+            dev_mask = np.asarray(mask)
+            num_in = np.int32(num_points)
+            delta_in = np.asarray(delta, np.float32)
+        else:
+            dev_points = jnp.asarray(points, jnp.float32)
+            dev_mask = jnp.asarray(mask)
+            num_in = jnp.int32(num_points)
+            delta_in = jnp.asarray(delta, jnp.float32)
         with self.stats.timer.section("local_match"):
             if self.mesh is not None:
                 # Mesh x pipelining: same device-resident chain, candidate
@@ -657,8 +704,7 @@ class Mapper:
                     runtime.mapping_step_async_multichip(
                         self.local_matcher.config, self.mesh, self._window,
                         self._pose_dev, self._range_max_dev, dev_points,
-                        dev_mask, jnp.int32(num_points),
-                        jnp.asarray(delta, jnp.float32))
+                        dev_mask, num_in, delta_in)
             else:
                 self._window, self._pose_dev, out = \
                     matcher_mod.mapping_step_async(
@@ -717,13 +763,18 @@ class Mapper:
         if not self._pending:
             return
         import jax
+
+        from ndt_2d_tpu.parallel import distributed
         g = self.graph
         n = len(self._pending) if k is None else min(k, len(self._pending))
         for _ in range(n):
             entry = self._pending.pop(0)
             if entry[0] == "map":
                 _, scan_id, out = entry
-                unc, score, corr, cov, new_pose = jax.device_get(out)
+                # distributed.fetch reads the process-local copy of the
+                # replicated multi-process outputs (plain device_get
+                # otherwise).
+                unc, score, corr, cov, new_pose = distributed.fetch(out)
                 pose = np.asarray(new_pose, np.float64)
                 g.poses[scan_id] = pose
                 if scan_id > 0:
@@ -851,15 +902,17 @@ class Mapper:
                 f.set_free_space(*fs)
                 logger.info("PF recovery armed: %d free cells", len(fs[0]))
         from ndt_2d_tpu.matching.matcher import NDTScanMatcher
-        if (self.mesh is not None and not self._mp
+        if (self.mesh is not None
                 and isinstance(self.global_matcher, NDTScanMatcher)
                 and self.global_matcher.grid is not None):
             # Mesh mode: reference-shaped update/measure/resample sequence
             # with the MEASUREMENT (the PF's compute bulk) particle-sharded
             # over the 'batch' axis (parallel.filter.measure_multichip).
-            # (Multi-process runs the PF process-locally instead: its state
-            # chain is device-resident and seeded, so every process computes
-            # the identical filter — redundant but replicated-correct.)
+            # Multi-process (round 5): the motion/resample state chain stays
+            # process-local (replicated by the shared seed), while the
+            # measurement shards particles over the GLOBAL mesh — host-numpy
+            # particles in, process_allgather of the sharded scores out
+            # (filter.measure handles both through host_grid).
             self._drain_all()
             delta = robot_pose[:2] - self.prev_robot_pose[:2]
             c = np.cos(-self.prev_robot_pose[2])
@@ -870,7 +923,9 @@ class Mapper:
                          _normalize_angle(robot_pose[2]
                                           - self.prev_robot_pose[2]))
                 f.measure(self.global_matcher, points, mask, num_points,
-                          mesh=self.mesh)
+                          mesh=self.mesh,
+                          host_grid=(self._mesh_grid(self.global_matcher)
+                                     if self._mp else None))
                 f.resample()
             pose = np.asarray(f.get_mean(), np.float64)
             self.prev_odom_pose = odom_pose.copy()
@@ -1326,6 +1381,11 @@ class Mapper:
         added = 0
         for i in candidates:
             poses2, pts2, pmask2, wmask2 = self._candidate_window(i, rolling)
+            grown = self._check_grid_capacity(
+                poses2[wmask2][:, :2], self.global_matcher.config,
+                "loop-closure candidate window", "scan matcher grid_cells_*")
+            if grown:
+                self._grow_matcher("global_matcher", grown)
             self.global_matcher.reset()
             self.global_matcher.add_scans(poses2, pts2, pmask2, wmask2)
             start, wants_coarse = self._candidate_start(
@@ -1334,6 +1394,12 @@ class Mapper:
                 # Far (drift-agnostic) candidates run coarse-to-fine: the
                 # wide coarse lattice absorbs the drift so the fine window
                 # below only has to cover the coarse quantization.
+                grown = self._check_grid_capacity(
+                    poses2[wmask2][:, :2], self.coarse_matcher.config,
+                    "loop-closure candidate window",
+                    "scan matcher grid_cells_*")
+                if grown:
+                    self._grow_matcher("coarse_matcher", grown)
                 self.coarse_matcher.reset()
                 self.coarse_matcher.add_scans(poses2, pts2, pmask2, wmask2)
                 coarse = self.coarse_matcher.match_scan(
@@ -1541,18 +1607,24 @@ class Mapper:
 
     def _check_batch_capacity(self, poses, wmask, coarse: bool) -> None:
         """Static-grid capacity check over all candidate windows (the same
-        check NDTScanMatcher.add_scans runs per window)."""
-        cfgs = [self.global_matcher.config]
-        if coarse:
-            cfgs.append(self.coarse_matcher.config)
-        for w in range(poses.shape[0]):
-            wp = poses[w][wmask[w]]
-            if not len(wp):
-                continue
-            for cfg in cfgs:
-                self._check_grid_capacity(
-                    wp[:, :2], cfg, "loop-closure candidate window",
+        check NDTScanMatcher.add_scans runs per window); auto-grows the
+        tripped matcher(s) to the largest window's need."""
+        matchers = ["global_matcher"] + (["coarse_matcher"] if coarse else [])
+        for attr in matchers:
+            need = None
+            for w in range(poses.shape[0]):
+                wp = poses[w][wmask[w]]
+                if not len(wp):
+                    continue
+                grown = self._check_grid_capacity(
+                    wp[:, :2], getattr(self, attr).config,
+                    "loop-closure candidate window",
                     "scan matcher grid_cells_*")
+                if grown:
+                    need = (max(grown[0], need[0]),
+                            max(grown[1], need[1])) if need else grown
+            if need:
+                self._grow_matcher(attr, need)
 
     def _solve_graph(self) -> bool:
         """Optimize the graph in place — constraint-sharded over the mesh

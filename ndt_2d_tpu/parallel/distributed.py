@@ -84,15 +84,21 @@ def fetch(tree: Any) -> Any:
     """Bring a pytree of device results to every process's host memory.
 
     Fully-addressable leaves (single-process arrays, replicated outputs)
-    use a plain ``device_get``; mesh-sharded multi-process leaves are
-    materialized with ``process_allgather`` (one all-gather over DCN).
-    Non-array leaves pass through.  This is the one fetch entry point the
-    mapper/runtime use so single- and multi-process modes share call sites.
+    use a plain ``device_get``.  Multi-process leaves that are FULLY
+    REPLICATED read the process-local copy directly (every process already
+    holds the whole value — no DCN traffic; this is what makes threading
+    replicated jit-output state across pipelined steps cheap); mesh-sharded
+    leaves are materialized with ``process_allgather`` (one all-gather over
+    DCN).  Non-array leaves pass through.  This is the one fetch entry
+    point the mapper/runtime use so single- and multi-process modes share
+    call sites.
     """
     import jax
 
     def _leaf(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
             from jax.experimental import multihost_utils
             return multihost_utils.process_allgather(x, tiled=True)
         return x

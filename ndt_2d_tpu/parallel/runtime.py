@@ -73,9 +73,11 @@ def mapping_step_async_multichip(config: ScanMatcherConfig, mesh,
     the mesh) exactly like the single-device pipelined path; only the 35k-
     candidate search is sharded, and its reduction is the exact psum /
     first-hit-wins all_gather of parallel.matcher.match_scan_multichip, so
-    the drained results equal the synchronous mesh path's.  Single-process
-    meshes only: the multi-process runtime keeps host-side (numpy) inputs
-    and therefore runs the synchronous step (mapping/mapper.py).
+    the drained results equal the synchronous mesh path's.  Works under
+    multi-process meshes too (round 5): the first step's window/pose feed
+    as process-replicated numpy, every later step threads the replicated
+    jit-output global arrays back in, and drains read the process-local
+    replica (parallel.distributed.fetch).
     Returns (window', pose', (unc, score, corr, cov, pose'))."""
     c, s = jnp.cos(prev_pose[2]), jnp.sin(prev_pose[2])
     th = prev_pose[2] + delta[2]

@@ -179,6 +179,129 @@ def check_slam(mesh):
             "grid_occupied": int(np.sum(grid.data == 100))}
 
 
+def check_pipeline(mesh):
+    """Round-5: max_inflight composes with a MULTI-PROCESS mesh — the
+    window/pose chain threads through as replicated jit-output global
+    arrays.  Sync-equivalence on a straight-line session (the same pin the
+    single-process mesh test uses, test_mesh_mapper.py:105) + bitwise
+    replication across processes."""
+    import dataclasses
+
+    from ndt_2d_tpu.config import MapperConfig, ScanMatcherConfig
+    from ndt_2d_tpu.mapping.mapper import Mapper
+    from ndt_2d_tpu.parallel import distributed
+    from ndt_2d_tpu.utils import sim
+
+    world = sim.make_box_world(10.0, 8.0)
+    truth = np.stack([np.linspace(2.5, 7.0, 16),
+                      np.full(16, 4.0), np.zeros(16)], axis=-1)
+    odom = sim.drift_odometry(truth, 0.008, 0.002, seed=5)
+    mcfg = ScanMatcherConfig(grid_cells_x=160, grid_cells_y=160)
+    base = MapperConfig(local_scan_matcher=mcfg, global_scan_matcher=mcfg,
+                        max_points_per_scan=512,
+                        loop_closure_every=10**9)
+    results = {}
+    for inflight in (0, 4):
+        cfg = dataclasses.replace(base, max_inflight=inflight)
+        mapper = Mapper(cfg, mesh=mesh)
+        assert mapper._mp
+        for t in range(len(truth)):
+            msg = sim.scan_at_pose(world, truth[t], n_beams=240,
+                                   range_max=12.0, noise=0.01,
+                                   rng=np.random.default_rng(t))
+            mapper.process_scan(msg, odom[t])
+        mapper.flush()
+        poses = mapper.graph.poses[:mapper.graph.num_scans].copy()
+        distributed.assert_replicated(poses, f"pipelined poses {inflight}")
+        results[inflight] = poses
+    assert len(results[0]) == len(results[4]) == len(truth)
+    np.testing.assert_allclose(results[4], results[0], atol=1e-4)
+    return {"scans": len(results[4]),
+            "poses_sum": round(float(np.sum(results[4])), 4)}
+
+
+def check_pf(mesh):
+    """Round-5: the PF measurement sharded over the GLOBAL multi-process
+    mesh.  (a) the sharded scores equal the process-local dense scores
+    (bitwise-level pin at the sharding boundary); (b) a full PF
+    localization session through Mapper(mesh=...) tracks and its poses are
+    replicated across processes (the resample draws stay in lockstep)."""
+    import dataclasses
+
+    from ndt_2d_tpu.config import (MapperConfig, ParticleFilterConfig,
+                                   ScanMatcherConfig)
+    from ndt_2d_tpu.mapping.mapper import LOAD_FROM_FILE, SAVE_TO_FILE, Mapper
+    from ndt_2d_tpu.matching import matcher as matcher_mod
+    from ndt_2d_tpu.parallel import distributed
+    from ndt_2d_tpu.parallel import filter as pfilter
+    from ndt_2d_tpu.parallel.mesh import BATCH_AXIS
+    from ndt_2d_tpu.utils import metrics, sim
+
+    world = sim.make_box_world(10.0, 8.0)
+    truth = np.stack([np.linspace(3.0, 7.0, 12),
+                      np.full(12, 4.0), np.zeros(12)], axis=-1)
+    mcfg = ScanMatcherConfig(grid_cells_x=160, grid_cells_y=160)
+    base = MapperConfig(local_scan_matcher=mcfg, global_scan_matcher=mcfg,
+                        max_points_per_scan=512, loop_closure_every=10**9)
+    mapper = Mapper(base)  # process-local replicated mapping run
+    for t in range(len(truth)):
+        msg = sim.scan_at_pose(world, truth[t], n_beams=240, range_max=14.0,
+                               noise=0.01, rng=np.random.default_rng(t))
+        mapper.process_scan(msg, truth[t])
+    path = f"/tmp/ndt2d_dist_pf_map_{jax.process_index()}.npz"
+    mapper.configure(SAVE_TO_FILE, path)
+
+    cfg = dataclasses.replace(
+        base, use_particle_filter=True,
+        particle_filter=ParticleFilterConfig(
+            min_particles=100, max_particles=500,
+            odom_alpha1=0.05, odom_alpha2=0.05,
+            odom_alpha3=0.05, odom_alpha4=0.05))
+    loc = Mapper(cfg, mesh=mesh, seed=3)
+    assert loc._mp
+    loc.configure(LOAD_FROM_FILE, path)
+    rel = metrics.relative_to_first(truth)
+    loc.set_initial_pose(rel[0], np.diag([0.04, 0.04, 0.01]), truth[0])
+    odom = sim.drift_odometry(truth, 0.01, 0.003, seed=9)
+
+    # (a) sharded-vs-dense measurement pin at the exact sharding boundary.
+    loc._ensure_matchers(14.0)
+    f = loc.filter
+    gm = loc.global_matcher
+    msg = sim.scan_at_pose(world, truth[1], n_beams=240, range_max=14.0,
+                           noise=0.01, rng=np.random.default_rng(100))
+    pts, msk = sim.project_scan(msg, cfg.max_points_per_scan)
+    n = int(msk.sum())
+    m = f.particles.shape[0]
+    nb = mesh.shape[BATCH_AXIS]
+    m_pad = -(-m // nb) * nb
+    parts = np.zeros((m_pad, 3), np.float32)
+    parts[:m] = np.asarray(f.particles)
+    sharded = distributed.fetch(pfilter.measure_multichip(
+        gm.config, mesh, loc._mesh_grid(gm), np.asarray(pts, np.float32),
+        np.asarray(msk), np.int32(n), parts))[:m]
+    import jax.numpy as jnp
+    dense = np.asarray(matcher_mod.score_points_batch(
+        gm.config, gm.grid, jnp.asarray(pts), jnp.asarray(msk),
+        jnp.asarray(n), f.particles))
+    np.testing.assert_allclose(sharded, dense, atol=1e-6)
+
+    # (b) the full sharded-measurement localization session.
+    errs = []
+    for t in range(1, len(truth)):
+        msg = sim.scan_at_pose(world, truth[t], n_beams=240, range_max=14.0,
+                               noise=0.01, rng=np.random.default_rng(100 + t))
+        res = loc.process_scan(msg, odom[t])
+        if res.accepted:
+            errs.append(float(np.hypot(*(res.pose[:2] - rel[t][:2]))))
+            distributed.assert_replicated(res.pose, f"pf pose {t}")
+    assert len(errs) > 5
+    mean_err = float(np.mean(errs))
+    assert mean_err < 0.2, mean_err
+    return {"updates": len(errs), "mean_err": round(mean_err, 4),
+            "score_sum": round(float(np.sum(dense)), 3)}
+
+
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     from ndt_2d_tpu.parallel import distributed
@@ -194,7 +317,9 @@ def main():
            "devices": jax.device_count(),
            "solve": check_solve(mesh),
            "descriptor": check_descriptor(mesh),
-           "slam": check_slam(mesh)}
+           "slam": check_slam(mesh),
+           "pipeline": check_pipeline(mesh),
+           "pf": check_pf(mesh)}
     distributed.barrier("done")
     print("RESULT " + json.dumps(out), flush=True)
 

@@ -73,8 +73,12 @@ def test_two_process_mesh():
     # Both controllers must have computed the identical session (the worker
     # already asserted bitwise pose/grid replication via allgather; this
     # cross-checks the reported summaries end-to-end).
-    for key in ("solve", "descriptor", "slam"):
+    for key in ("solve", "descriptor", "slam", "pipeline", "pf"):
         assert r0[key] == r1[key], (key, r0[key], r1[key])
     assert r0["slam"]["closures"] >= 1
     assert r0["slam"]["optimizations"] >= 1
     assert r0["slam"]["ate"] < 0.35
+    # Round 5: pipelining + the sharded-measurement PF under multi-process.
+    assert r0["pipeline"]["scans"] == 16
+    assert r0["pf"]["updates"] > 5
+    assert r0["pf"]["mean_err"] < 0.2

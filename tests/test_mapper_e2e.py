@@ -906,3 +906,43 @@ class TestSolveBeforeReanchor:
             assert jump < 1.0, jump
             assert float(np.linalg.norm(
                 g.poses[idx, :2] - true_pos)) < 1.0
+
+
+class TestAutoGrowGrids:
+    """Mid-session static-grid growth (config.auto_grow_grids, default on).
+
+    The reference sizes every window NDT from its bounding box and can
+    never overflow (scan_matcher_ndt.cpp:52-67); our static grids used to
+    raise ValueError when a session outgrew them.  With auto_grow_grids
+    the tripped matcher rebuilds at the next 32-multiple extent (one
+    amortized recompile) and the session continues.
+    """
+
+    def _cfg(self, auto):
+        small = ScanMatcherConfig(grid_cells_x=64, grid_cells_y=64)
+        return dataclasses.replace(
+            CFG, local_scan_matcher=small, global_scan_matcher=small,
+            max_range=5.0, auto_grow_grids=auto)
+
+    def _drive(self, cfg):
+        # 0.75 m keyframe spacing: the 10-scan window spans ~6.75 m and
+        # with 2 * range_max = 10 m needs ~68 cells at 0.25 m — beyond the
+        # 64-cell grid once the window fills.
+        world = sim.make_corridor_world(40.0, 3.0)
+        truth = corridor_trajectory(24, step=0.75)
+        odom = sim.drift_odometry(truth, trans_noise=0.005, rot_noise=0.001,
+                                  seed=7)
+        return run_mapping(world, truth, odom, cfg=cfg, range_max=5.0)
+
+    def test_session_grows_and_completes(self):
+        mapper, est, used_truth = self._drive(self._cfg(True))
+        assert mapper.graph.num_scans >= 20
+        # The local matcher was rebuilt at a larger 32-multiple extent.
+        gx = mapper.local_matcher.config.grid_cells_x
+        assert gx > 64 and gx % 32 == 0
+        ate = metrics.ate_rmse(est, used_truth)
+        assert ate < 0.5, ate
+
+    def test_flag_off_raises_with_advice(self):
+        with pytest.raises(ValueError, match="auto_grow_grids"):
+            self._drive(self._cfg(False))
