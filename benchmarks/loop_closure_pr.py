@@ -362,7 +362,7 @@ def main(argv=None) -> int:
                     choices=["office", "office_drift", "simlab", "all",
                              "round4", "round4b", "round4c", "round4d",
                              "round4e", "round5", "round5prune",
-                             "round5simlab"])
+                             "round5simlab", "round5drift"])
     args = ap.parse_args(argv)
 
     from ndt_2d_tpu.utils.jax_cache import enable_compilation_cache
@@ -601,6 +601,31 @@ def main(argv=None) -> int:
             tag("simlab", mode, 1.0, sim_t,
                 run_simlab(1.0, mode, sim_t or 0.95, n_simlab,
                            recipe={**R3, **extra}, gm=N8), recipe=rname)
+
+    if args.scenario == "round5drift":
+        # Pruning-safety check on the 3x-drift case, where FAR rows are
+        # the TRUE revisits (the opposite regime from the alias-heavy
+        # office): the round-4 recipe with and without the round-5
+        # pruning levers.  Done = recall/ATE hold.
+        N8 = {"refine_iterations": 8}
+        rb = {"loop_closure_region_size": 3, "loop_closure_accept": "best",
+              "loop_closure_max_separation": 1.5, "global_search_limit": 8}
+        prune = {"loop_closure_far_dedup": 2.5,
+                 "loop_closure_reject_cache_margin": 0.10,
+                 "loop_closure_max_far_rows": 16}
+
+        def tag(name, mode, gate, sim, row, **extra):
+            row = dict(scenario=name, loop_search=mode, gate_scale=gate,
+                       min_similarity=sim, **extra, **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+        n_drift = 300  # the round-4 quick drift bag (lc_pr round4e rows)
+        for rname, extra in (("wide+best+sep1.5+k8", {}),
+                             ("wide+best+sep1.5+k8+prune", prune)):
+            tag("office_drift", "both", 0.85, 0.80,
+                run_office("both", 0.85, 0.80, 3.0, n_drift,
+                           recipe={**rb, **extra}, gm=N8), recipe=rname)
 
     if args.scenario == "round5prune":
         # VERDICT r4 #1: the descriptor-mode wall.  A/B the far-row

@@ -289,6 +289,16 @@ def bench_config3(quick: bool, loop_search: str = "radius") -> dict:
             loop_closure_gate_scale=0.85, loop_closure_region_size=3,
             loop_closure_accept="best", loop_closure_max_separation=1.5,
             loop_closure_solve_before_reanchor=True,
+            # Round-5 far-alias pruning (VERDICT r4 #1): one coarse
+            # confirmation per (query, candidate) site pair per pass,
+            # similarity-ranked 16-row cap, negative cache of clear far
+            # rejections.  Measured on the n=1200 proxy
+            # (lc_pr_results.json round5prune): wall 190 -> 24.7 s (7.7x)
+            # at BETTER final ATE (0.101 vs 0.198) and transform-precision
+            # 1.0 vs 0.2 — the pruned rows were the 12 m aliases.
+            loop_closure_far_dedup=2.5,
+            loop_closure_reject_cache_margin=0.10,
+            loop_closure_max_far_rows=16,
             global_scan_matcher=dc.replace(global_mcfg,
                                            refine_iterations=8))
     import jax

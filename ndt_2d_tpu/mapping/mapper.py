@@ -1013,6 +1013,17 @@ class Mapper:
                 from ndt_2d_tpu.parallel import distributed
                 self._desc_topk = tuple(
                     np.asarray(x) for x in distributed.fetch((idx_t, score_t)))
+            else:
+                # Single-device: the same one-search-per-pass precompute
+                # (one dispatch + one fetch instead of one per query —
+                # the per-query fetches dominated the descriptor-mode
+                # pass wall through a high-latency link).
+                import jax.numpy as jnp
+                idx_t, score_t = loop_search.search_all_pairs(
+                    desc_table, jnp.asarray(desc_valid),
+                    k=self.config.global_search_limit,
+                    rolling_exclude=self.config.rolling_depth + 1)
+                self._desc_topk = (np.asarray(idx_t), np.asarray(score_t))
         if self._fused_confirmation_available() and \
                 self.config.pipeline_loop_closure:
             added = self._loop_closure_pass_pipelined(num_scans, desc_table,

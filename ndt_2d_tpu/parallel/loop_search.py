@@ -149,6 +149,32 @@ def search_dense(desc, valid, query_idx, k: int = 8,
     return idx, scores
 
 
+@functools.partial(jax.jit, static_argnames=("k", "rolling_exclude"))
+def search_all_pairs(desc, valid, k: int = 8, rolling_exclude: int = 10):
+    """Single-device all-pairs candidate search: every keyframe's top-k in
+    ONE [N, B] @ [B, N] matmul + row-wise top_k.
+
+    A loop-closure pass used to run search_dense per pending query — one
+    dispatch + one synchronous fetch each, which dominated the
+    descriptor-mode pass wall through a high-latency link (measured
+    ~273 ms/pass on the config-6 benchmark).  Descriptors depend only on
+    scan points, which acceptances never change, so precomputing the whole
+    table per pass is decision-identical to the per-query search (the same
+    argument as the sharded all-pairs path).  f32-forced contraction so
+    the scores match search_dense's matvec bitwise-closely on TPU (bf16
+    default matmul would shift cosines by ~1e-2 across the similarity
+    threshold).  Returns (indices [N, k], scores [N, k]).
+    """
+    n = desc.shape[0]
+    sims = jnp.einsum("ib,jb->ij", desc, desc,
+                      precision=jax.lax.Precision.HIGHEST)
+    ar = jnp.arange(n)
+    eligible = valid[None, :] & (ar[None, :] <= ar[:, None] - rolling_exclude)
+    sims = jnp.where(eligible, sims, -jnp.inf)
+    scores, idx = jax.lax.top_k(sims, k)
+    return idx, scores
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "k", "rolling_exclude", "axis"))
 def search_all_pairs_multichip(mesh, desc, valid, k: int = 8,

@@ -109,6 +109,28 @@ class TestSearch:
                     == np.asarray(idx_d)[finite]).all(), q
 
 
+class TestAllPairs:
+    def test_matches_search_dense_per_row(self):
+        """The one-dispatch-per-pass all-pairs search must reproduce the
+        per-query search_dense results (same top-k sets and scores)."""
+        rng = np.random.default_rng(3)
+        desc = rng.normal(size=(24, 16)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        valid = np.ones(24, bool)
+        valid[20:] = False
+        idx_all, score_all = loop_search.search_all_pairs(
+            jnp.asarray(desc), jnp.asarray(valid), k=4, rolling_exclude=5)
+        for q in range(5, 20):
+            idx_q, score_q = loop_search.search_dense(
+                jnp.asarray(desc), jnp.asarray(valid), q, k=4,
+                rolling_exclude=5)
+            np.testing.assert_allclose(np.asarray(score_q),
+                                       np.asarray(score_all)[q], atol=1e-6)
+            finite = np.isfinite(np.asarray(score_q))
+            assert set(np.asarray(idx_q)[finite]) == set(
+                np.asarray(idx_all)[q][finite])
+
+
 class TestUnionMode:
     """loop_search='both': deduped union of radius and descriptor proposals,
     radius first (they carry the precise start pose)."""
