@@ -158,7 +158,17 @@ def attribute_misses(mapper, truth_used: np.ndarray, revisits, queries,
             in_reach = [i for i, d in d2.items()
                         if d < cfg.global_search_size]
             if not in_reach:
-                cause = "radius_reach"
+                # Sub-attribute: is the miss the BARYCENTER's geometry
+                # (reverse-direction revisit: poses coincide but the
+                # world-frame point means face away from each other) or
+                # genuine pose drift beyond the radius?
+                pd2 = min(float(np.sum((g.poses[i, :2]
+                                        - g.poses[idx, :2]) ** 2))
+                          for i in d2) if d2 else np.inf
+                cause = ("barycenter_geometry"
+                         if g.use_barycenter
+                         and pd2 < cfg.global_search_size
+                         else "radius_reach")
             else:
                 cause = "radius_rank"
         if mode in ("descriptor", "both") and cause in ("other",
@@ -271,15 +281,16 @@ def run_office(loop_search: str, gate_scale: float, min_sim: float,
         grid_cells_x=160, grid_cells_y=160, **(gm or {}))
     mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
     from ndt_2d_tpu.config import MapperConfig
-    cfg = MapperConfig(
+    kw = dict(
         local_scan_matcher=mcfg, global_scan_matcher=global_mcfg,
         max_points_per_scan=512, global_search_size=4.0,
         optimization_node_limit=10, loop_closure_every=20,
         minimum_travel_distance=0.3, max_inflight=8,
         loop_search=loop_search, descriptor_min_similarity=min_sim,
         loop_closure_gate_scale=gate_scale,
-        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"),
-        **(recipe or {}))
+        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
+    kw.update(recipe or {})  # recipe overrides the base keys
+    cfg = MapperConfig(**kw)
     mapper = Mapper(cfg)
     used_truth = []
     t0 = time.perf_counter()
@@ -322,15 +333,16 @@ def run_simlab(gate_scale: float, loop_search: str, min_sim: float, n=None,
         search_linear_resolution=0.01, search_angular_size=0.05,
         grid_cells_x=160, grid_cells_y=160, **(gm or {}))
     mcfg = ScanMatcherConfig(grid_cells_x=192, grid_cells_y=192)
-    cfg = MapperConfig(
+    kw = dict(
         local_scan_matcher=mcfg, global_scan_matcher=global_mcfg,
         max_points_per_scan=512, global_search_size=4.0,
         optimization_node_limit=10, loop_closure_every=20,
         minimum_travel_distance=0.3, max_range=10.0, max_inflight=8,
         loop_search=loop_search, descriptor_min_similarity=min_sim,
         loop_closure_gate_scale=gate_scale,
-        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"),
-        **(recipe or {}))
+        solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
+    kw.update(recipe or {})  # recipe overrides the base keys
+    cfg = MapperConfig(**kw)
     mapper = Mapper(cfg)
     used_truth = []
     t0 = time.perf_counter()

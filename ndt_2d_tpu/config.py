@@ -237,6 +237,19 @@ class MapperConfig:
     # applies when batch_loop_closure is in effect.
     pipeline_loop_closure: bool = True
 
+    # Radius-search position space.  "barycenter"/"pose" follow
+    # use_barycenter (reference parity: one search in one space,
+    # graph.cpp:167-189).  "both" = the union of the barycenter-space and
+    # pose-space radius searches per query.  The reference's barycenter
+    # convention has a measured blind spot: a REVERSE-DIRECTION revisit
+    # places two scans at the same pose with barycenters a full
+    # mean-beam-length apart in opposite facings, so neither barycenter
+    # search reaches the other — every one of the simlab benchmark's
+    # candidate-recall misses (37/37) attributes to exactly this
+    # (lc_pr_results miss_causes "barycenter_geometry"), capping recall
+    # at 0.83.  "both" closes it with one extra host-side search.
+    loop_search_positions: str = "barycenter"
+
     # Loop-closure candidate source: "radius" = barycenter radius search
     # (Graph::findNearest parity, graph.cpp:167-189); "descriptor" =
     # appearance-based cosine correlation over rotation-invariant keyframe

@@ -150,7 +150,8 @@ class Graph:
         return poses[:, :2] + np.where(has, off, 0.0)
 
     def find_nearest(self, query_xy, dist: float = 10.0,
-                     limit_scan_index: int = -1) -> np.ndarray:
+                     limit_scan_index: int = -1,
+                     use_barycenter=None) -> np.ndarray:
         """Radius search over scan positions/barycenters.
 
         Mirrors Graph::findNearest (src/graph.cpp:167-189) including the
@@ -158,12 +159,15 @@ class Graph:
         returns indices sorted by ascending distance.  ``limit_scan_index > 0``
         restricts the search to scans[0:limit] (used to exclude the rolling
         window during loop closure, ndt_mapper.cpp:615).
+        ``use_barycenter`` overrides the graph's own setting for this query
+        (the pose-space arm of the dual radius search; None = graph
+        default).
         """
         limit = limit_scan_index if limit_scan_index > 0 else self.num_scans
         if limit == 0:
             return np.zeros(0, np.int64)
-        pos = (self.barycenters() if self.use_barycenter
-               else self.poses[:, :2])[:limit]
+        ub = self.use_barycenter if use_barycenter is None else use_barycenter
+        pos = (self.barycenters() if ub else self.poses[:, :2])[:limit]
         d2 = np.sum((pos - np.asarray(query_xy)[None, :]) ** 2, axis=-1)
         hits = np.nonzero(d2 < dist)[0]
         return hits[np.argsort(d2[hits], kind="stable")]

@@ -1094,6 +1094,26 @@ class Mapper:
             near = g.find_nearest(query, self.config.global_search_size,
                                   rolling)
             out = [int(i) for i in near if g.point_mask[int(i)].any()][:limit]
+            if self.config.loop_search_positions == "both":
+                # Pose-space arm: catches reverse-direction revisits whose
+                # barycenters face away from each other (see config.py).
+                # Its OWN limit-sized budget: the barycenter arm fills its
+                # slots with same-direction neighbors in dense surveys, so
+                # a shared cap would starve exactly the reverse revisits
+                # this arm exists for (measured: all 28 residual simlab
+                # misses sat within 0.9 m pose distance while the shared
+                # cap was exhausted).
+                near2 = g.find_nearest(g.poses[idx, :2],
+                                       self.config.global_search_size,
+                                       rolling, use_barycenter=False)
+                extras = 0
+                for i in near2:
+                    i = int(i)
+                    if extras >= limit:
+                        break
+                    if i not in out and g.point_mask[i].any():
+                        out.append(i)
+                        extras += 1
         if mode in ("descriptor", "both") and desc_table is not None:
             from ndt_2d_tpu.parallel import loop_search
             # Exclude i >= idx - depth: findNearest's limit_scan_index
