@@ -601,17 +601,17 @@ def main(argv=None) -> int:
             rows.append(row)
             print(json.dumps(row), flush=True)
 
-        for rname, mode, sim_t, extra in (
-                ("r4-baseline", "radius", None, {}),
-                ("radius9", "radius", None, {"global_search_size": 9.0}),
-                ("radius9+k8", "radius", None,
-                 {"global_search_size": 9.0, "global_search_limit": 8}),
-                ("both+k8", "both", 0.90,
-                 {"global_search_limit": 8,
-                  "loop_closure_far_dedup": 1.5,
-                  "loop_closure_reject_cache_margin": 0.05})):
-            tag("simlab", mode, 1.0, sim_t,
-                run_simlab(1.0, mode, sim_t or 0.95, n_simlab,
+        # The attribution run proved every baseline miss is barycenter
+        # geometry (reverse-direction revisits); the dual-position search
+        # with a per-arm budget closes it.  region 3 = accuracy-optimal,
+        # region 5 = the closure-recall recipe (VERDICT r4 #5 bar).
+        for rname, extra in (
+                ("r4-baseline", {}),
+                ("bothpos-region3", {"loop_search_positions": "both"}),
+                ("bothpos-region5", {"loop_search_positions": "both",
+                                     "loop_closure_region_size": 5})):
+            tag("simlab", "radius", 1.0, None,
+                run_simlab(1.0, "radius", 0.95, n_simlab,
                            recipe={**R3, **extra}, gm=N8), recipe=rname)
 
     if args.scenario == "round5drift":

@@ -107,7 +107,9 @@ def _mapper_config(args):
               "max_points_per_scan", "loop_search", "scan_matcher_type",
               "max_inflight", "loop_closure_region_size",
               "loop_closure_accept", "loop_closure_max_separation",
-              "loop_closure_solve_before_reanchor"):
+              "loop_closure_solve_before_reanchor", "loop_search_positions",
+              "loop_closure_far_dedup", "loop_closure_reject_cache_margin",
+              "loop_closure_max_far_rows", "auto_grow_grids"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -482,11 +484,37 @@ def main(argv=None) -> int:
                        help="cosine cutoff for descriptor loop-closure "
                             "candidates (loop-search descriptor/both)")
         p.add_argument("--loop-closure-solve-before-reanchor",
-                       action="store_true", default=None,
+                       action=argparse.BooleanOptionalAction, default=None,
                        dest="loop_closure_solve_before_reanchor",
                        help="robust-solve before re-anchoring the tracker "
-                            "on a newest-scan closure (recommended with "
-                            "descriptor/both candidates)")
+                            "on a newest-scan closure (default ON since "
+                            "round 5; --no-... restores the reference's "
+                            "re-anchor-first behavior)")
+        p.add_argument("--loop-search-positions",
+                       choices=["barycenter", "pose", "both"], default=None,
+                       dest="loop_search_positions",
+                       help="radius-search position space; 'both' adds a "
+                            "pose-space arm that catches reverse-direction "
+                            "revisits the barycenter convention misses")
+        p.add_argument("--loop-closure-far-dedup", type=float, default=None,
+                       dest="loop_closure_far_dedup", metavar="M",
+                       help="per-pass spatial dedup radius for far "
+                            "(coarse) confirmation rows (0 = off)")
+        p.add_argument("--loop-closure-reject-cache-margin", type=float,
+                       default=None, dest="loop_closure_reject_cache_margin",
+                       help="cache clearly-rejected far site pairs and "
+                            "skip re-proposing them (fraction of |gate|; "
+                            "0 = off)")
+        p.add_argument("--loop-closure-max-far-rows", type=int, default=None,
+                       dest="loop_closure_max_far_rows",
+                       help="per-pass cap on far confirmation rows, "
+                            "similarity-ranked (0 = unlimited)")
+        p.add_argument("--auto-grow-grids",
+                       action=argparse.BooleanOptionalAction, default=None,
+                       dest="auto_grow_grids",
+                       help="rebuild a matcher at a larger static grid "
+                            "when a session outgrows it (default on; "
+                            "--no-... raises with sizing advice instead)")
         p.add_argument("--scan-matcher-type", default=None,
                        dest="scan_matcher_type",
                        help="matcher plugin (ndt_mapper.cpp:91-92): ndt, "
