@@ -104,11 +104,18 @@ def _office_cfg():
         global_scan_matcher=ScanMatcherConfig(
             ndt_resolution=0.35, search_linear_size=0.15,
             search_linear_resolution=0.01, search_angular_size=0.05,
-            grid_cells_x=160, grid_cells_y=160),
+            grid_cells_x=160, grid_cells_y=160,
+            # Round-5 TPU recipe additions: Newton-polished confirmation
+            refine_iterations=8),
         max_points_per_scan=512, global_search_size=4.0,
         optimization_node_limit=10, loop_closure_every=20,
         minimum_travel_distance=0.3, max_inflight=8,
         loop_closure_gate_scale=0.85,
+        # ... region-3 confirmation windows and the dual-position radius
+        # search (reverse-revisit recall) — the measured round-5 recipe
+        # (BASELINE.md round 5); the native arm below still runs the
+        # reference's own recipe on the same bags.
+        loop_closure_region_size=3, loop_search_positions="both",
         solver=dc.replace(SolverConfig(), robust_loss="geman_mcclure"))
 
 
