@@ -156,7 +156,11 @@ def run_config(num: int, quick: bool) -> dict:
                 bag, ranges=bag.ranges[:k], odom=bag.odom[:k],
                 times=bag.times[:k] if bag.times is not None else None)
             truth = truth[:k]
-        cfg = dc.replace(_office_cfg(), max_range=10.0)
+        # Simlab's measured recipe keeps the PARITY gate (1.0): with the
+        # dual-position candidates the 0.85 office gate over-accepts
+        # reverse-direction edges (measured: ATE 0.208 vs 0.101 at 1.0).
+        cfg = dc.replace(_office_cfg(), max_range=10.0,
+                         loop_closure_gate_scale=1.0)
     else:
         raise ValueError(num)
 
