@@ -155,6 +155,19 @@ def main() -> int:
         "match_scan_rolling (per accepted scan)", lowered.compile(),
         "Olson K/u/s psum + best/corr all_gather over 'space'"))
 
+    # 1b. Pipelined mapping step (round 5: runs under multi-process too —
+    #     the window/pose chain threads through as replicated jit outputs,
+    #     so the collective inventory must equal the synchronous match's:
+    #     the pipelining adds NO cross-device traffic).
+    lowered = runtime.mapping_step_async_multichip.lower(
+        mcfg, mesh, window, np.zeros(3, np.float32), np.float32(12.0),
+        np.zeros((P, 2), np.float32), np.zeros(P, bool), np.int32(100),
+        np.zeros(3, np.float32))
+    rows.append(summarize(
+        "mapping_step_async (per pipelined scan)", lowered.compile(),
+        "same psum/all_gather set as the synchronous match — the "
+        "device-resident pose/window chain is replicated, not gathered"))
+
     # 2. Loop-closure confirmation batch: candidates over `batch`,
     #    angles over `space`.
     K = 8
