@@ -1050,6 +1050,12 @@ class Mapper:
             self._window_synced = -1  # optimized poses invalidate the window
             self._reject_cache.clear()  # optimized poses move far starts
             self._reanchor_pose()
+        # Return the pass's freed buffer pages to the OS: the padded
+        # candidate batches + fetched rows churn tens of MB per pass and
+        # glibc retains them in its arenas otherwise (measured ~6 MB/pass
+        # steady RSS creep on closure-dense sessions; utils/memory.py).
+        from ndt_2d_tpu.utils.memory import trim_host_heap
+        trim_host_heap()
         return added
 
     def _reanchor_pose(self) -> None:

@@ -217,3 +217,66 @@ class TestCliMesh:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["scans_accepted"] >= 14
         assert stats["ate_rmse_m"] < 0.12
+
+
+class TestRecipePresets:
+    """--recipe applies the measured round-5 loop-closure recipes
+    (BASELINE.md round 5), with explicit flags overriding preset values."""
+
+    def _config(self, argv):
+        ap = __import__("argparse").ArgumentParser()
+        # Reuse the real parser by going through main's parser build: parse
+        # via a throwaway run command (no execution - we only build config).
+        args = cli._parse_for_test(["run", "--bag", "x"] + argv)
+        return cli._mapper_config(args)
+
+    def test_office_recipe(self):
+        cfg = self._config(["--recipe", "office"])
+        assert cfg.loop_closure_gate_scale == 0.85
+        assert cfg.loop_closure_region_size == 3
+        assert cfg.loop_search_positions == "both"
+        assert cfg.solver.robust_loss == "geman_mcclure"
+        assert cfg.global_scan_matcher.refine_iterations == 8
+        # untouched session scaffolding keeps its defaults
+        assert cfg.loop_search == "radius"
+        assert cfg.local_scan_matcher.refine_iterations == 0
+
+    def test_descriptor_recipe(self):
+        cfg = self._config(["--recipe", "office-descriptor"])
+        assert cfg.loop_search == "descriptor"
+        assert cfg.loop_closure_accept == "best"
+        assert cfg.loop_closure_max_separation == 1.5
+        assert cfg.loop_closure_far_dedup == 2.5
+        assert cfg.loop_closure_reject_cache_margin == 0.10
+        assert cfg.loop_closure_max_far_rows == 16
+
+    def test_drift_recipe(self):
+        cfg = self._config(["--recipe", "drift"])
+        assert cfg.loop_search == "both"
+        assert cfg.global_search_limit == 8
+        assert cfg.descriptor_min_similarity == 0.80
+
+    def test_explicit_flags_override_preset(self):
+        cfg = self._config(["--recipe", "office",
+                            "--loop-closure-gate-scale", "0.95",
+                            "--robust-loss", "none",
+                            "--global_scan_matcher.refine_iterations", "4",
+                            "--loop-search-positions", "barycenter"])
+        assert cfg.loop_closure_gate_scale == 0.95
+        assert cfg.solver.robust_loss == "none"
+        assert cfg.global_scan_matcher.refine_iterations == 4
+        assert cfg.loop_search_positions == "barycenter"
+        # non-overridden preset values still apply
+        assert cfg.loop_closure_region_size == 3
+
+    def test_no_recipe_is_parity(self):
+        cfg = self._config([])
+        ref = MapperConfig()
+        assert cfg.loop_closure_gate_scale == ref.loop_closure_gate_scale
+        assert cfg.solver.robust_loss == ref.solver.robust_loss
+
+    def test_gate_and_loss_flags_without_recipe(self):
+        cfg = self._config(["--loop-closure-gate-scale", "0.9",
+                            "--robust-loss", "huber"])
+        assert cfg.loop_closure_gate_scale == 0.9
+        assert cfg.solver.robust_loss == "huber"
