@@ -466,6 +466,84 @@ def cmd_info(args) -> int:
     return 0
 
 
+def _add_loop_closure_args(p: argparse.ArgumentParser) -> None:
+    """Loop-closure quality levers, shared by run/localize and serve (the
+    live node tunes closures exactly like the replay surface)."""
+    p.add_argument("--loop-search",
+                   choices=["radius", "descriptor", "both"],
+                   default=None, dest="loop_search",
+                   help="loop-closure candidate source (default radius; "
+                        "descriptor = drift-robust appearance search; "
+                        "both = deduped union of the two)")
+    p.add_argument("--loop-closure-region-size", type=int, default=None,
+                   dest="loop_closure_region_size", metavar="S",
+                   help="scans per candidate confirmation region "
+                        "(2 = reference parity, 3 = one either side)")
+    p.add_argument("--loop-closure-accept", choices=["first", "best"],
+                   default=None, dest="loop_closure_accept",
+                   help="per-query acceptance policy: first passing "
+                        "candidate (reference order) or only the "
+                        "best-scoring one (precision lever)")
+    p.add_argument("--loop-closure-max-separation", type=float,
+                   default=None, dest="loop_closure_max_separation",
+                   metavar="M",
+                   help="accept a closure only if the match lands the "
+                        "query within M meters of the candidate "
+                        "(inf = reference parity, score-only gate)")
+    p.add_argument("--descriptor-min-similarity", type=float,
+                   default=None, dest="descriptor_min_similarity",
+                   help="cosine cutoff for descriptor loop-closure "
+                        "candidates (loop-search descriptor/both)")
+    p.add_argument("--recipe", choices=sorted(_RECIPES), default=None,
+                   help="apply a measured loop-closure recipe preset "
+                        "(BASELINE.md round 5): office = radius search "
+                        "on structured loops (recall 0.90 at transform-"
+                        "precision 0.993); office-descriptor = "
+                        "appearance search with far-alias pruning; "
+                        "simlab = dense surveys (parity gate, dual-"
+                        "position search); drift = high odometry drift "
+                        "(union candidates + precision gates).  "
+                        "Explicit flags override preset values")
+    p.add_argument("--loop-closure-gate-scale", type=float, default=None,
+                   dest="loop_closure_gate_scale",
+                   help="loop-closure accept gate as a multiple of the "
+                        "EWMA typical match score (1.0 = reference "
+                        "parity; 0.85 = the measured high-recall "
+                        "office recipe)")
+    p.add_argument("--robust-loss", default=None,
+                   choices=["none", "huber", "geman_mcclure"],
+                   help="robust loss on switchable (loop-closure) "
+                        "edges in the pose-graph solve (none = "
+                        "reference parity; geman_mcclure = the "
+                        "measured recipes' redescending loss)")
+    p.add_argument("--loop-closure-solve-before-reanchor",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   dest="loop_closure_solve_before_reanchor",
+                   help="robust-solve before re-anchoring the tracker "
+                        "on a newest-scan closure (default ON since "
+                        "round 5; --no-... restores the reference's "
+                        "re-anchor-first behavior)")
+    p.add_argument("--loop-search-positions",
+                   choices=["barycenter", "pose", "both"], default=None,
+                   dest="loop_search_positions",
+                   help="radius-search position space; 'both' adds a "
+                        "pose-space arm that catches reverse-direction "
+                        "revisits the barycenter convention misses")
+    p.add_argument("--loop-closure-far-dedup", type=float, default=None,
+                   dest="loop_closure_far_dedup", metavar="M",
+                   help="per-pass spatial dedup radius for far "
+                        "(coarse) confirmation rows (0 = off)")
+    p.add_argument("--loop-closure-reject-cache-margin", type=float,
+                   default=None, dest="loop_closure_reject_cache_margin",
+                   help="cache clearly-rejected far site pairs and "
+                        "skip re-proposing them (fraction of |gate|; "
+                        "0 = off)")
+    p.add_argument("--loop-closure-max-far-rows", type=int, default=None,
+                   dest="loop_closure_max_far_rows",
+                   help="per-pass cap on far confirmation rows, "
+                        "similarity-ranked (0 = unlimited)")
+
+
 def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="ndt_2d_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -514,79 +592,7 @@ def _build_parser() -> argparse.ArgumentParser:
                             "over the map's free space instead of an initial "
                             "pose (requires --particle-filter)")
         p.add_argument("--no-mapping", action="store_true")
-        p.add_argument("--loop-search",
-                       choices=["radius", "descriptor", "both"],
-                       default=None, dest="loop_search",
-                       help="loop-closure candidate source (default radius; "
-                            "descriptor = drift-robust appearance search; "
-                            "both = deduped union of the two)")
-        p.add_argument("--loop-closure-region-size", type=int, default=None,
-                       dest="loop_closure_region_size", metavar="S",
-                       help="scans per candidate confirmation region "
-                            "(2 = reference parity, 3 = one either side)")
-        p.add_argument("--loop-closure-accept", choices=["first", "best"],
-                       default=None, dest="loop_closure_accept",
-                       help="per-query acceptance policy: first passing "
-                            "candidate (reference order) or only the "
-                            "best-scoring one (precision lever)")
-        p.add_argument("--loop-closure-max-separation", type=float,
-                       default=None, dest="loop_closure_max_separation",
-                       metavar="M",
-                       help="accept a closure only if the match lands the "
-                            "query within M meters of the candidate "
-                            "(inf = reference parity, score-only gate)")
-        p.add_argument("--descriptor-min-similarity", type=float,
-                       default=None, dest="descriptor_min_similarity",
-                       help="cosine cutoff for descriptor loop-closure "
-                            "candidates (loop-search descriptor/both)")
-        p.add_argument("--recipe", choices=sorted(_RECIPES), default=None,
-                       help="apply a measured loop-closure recipe preset "
-                            "(BASELINE.md round 5): office = radius search "
-                            "on structured loops (recall 0.90 at transform-"
-                            "precision 0.993); office-descriptor = "
-                            "appearance search with far-alias pruning; "
-                            "simlab = dense surveys (parity gate, dual-"
-                            "position search); drift = high odometry drift "
-                            "(union candidates + precision gates).  "
-                            "Explicit flags override preset values")
-        p.add_argument("--loop-closure-gate-scale", type=float, default=None,
-                       dest="loop_closure_gate_scale",
-                       help="loop-closure accept gate as a multiple of the "
-                            "EWMA typical match score (1.0 = reference "
-                            "parity; 0.85 = the measured high-recall "
-                            "office recipe)")
-        p.add_argument("--robust-loss", default=None,
-                       choices=["none", "huber", "geman_mcclure"],
-                       help="robust loss on switchable (loop-closure) "
-                            "edges in the pose-graph solve (none = "
-                            "reference parity; geman_mcclure = the "
-                            "measured recipes' redescending loss)")
-        p.add_argument("--loop-closure-solve-before-reanchor",
-                       action=argparse.BooleanOptionalAction, default=None,
-                       dest="loop_closure_solve_before_reanchor",
-                       help="robust-solve before re-anchoring the tracker "
-                            "on a newest-scan closure (default ON since "
-                            "round 5; --no-... restores the reference's "
-                            "re-anchor-first behavior)")
-        p.add_argument("--loop-search-positions",
-                       choices=["barycenter", "pose", "both"], default=None,
-                       dest="loop_search_positions",
-                       help="radius-search position space; 'both' adds a "
-                            "pose-space arm that catches reverse-direction "
-                            "revisits the barycenter convention misses")
-        p.add_argument("--loop-closure-far-dedup", type=float, default=None,
-                       dest="loop_closure_far_dedup", metavar="M",
-                       help="per-pass spatial dedup radius for far "
-                            "(coarse) confirmation rows (0 = off)")
-        p.add_argument("--loop-closure-reject-cache-margin", type=float,
-                       default=None, dest="loop_closure_reject_cache_margin",
-                       help="cache clearly-rejected far site pairs and "
-                            "skip re-proposing them (fraction of |gate|; "
-                            "0 = off)")
-        p.add_argument("--loop-closure-max-far-rows", type=int, default=None,
-                       dest="loop_closure_max_far_rows",
-                       help="per-pass cap on far confirmation rows, "
-                            "similarity-ranked (0 = unlimited)")
+        _add_loop_closure_args(p)
         p.add_argument("--auto-grow-grids",
                        action=argparse.BooleanOptionalAction, default=None,
                        dest="auto_grow_grids",
@@ -732,6 +738,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-mapping", action="store_true")
     _add_matcher_args(p, "local_scan_matcher")
     _add_matcher_args(p, "global_scan_matcher")
+    _add_loop_closure_args(p)
     p.add_argument("--max-range", type=float, default=None)
     p.add_argument("--max-inflight", type=int, default=None,
                    dest="max_inflight",
