@@ -19,6 +19,7 @@ smaller, ndt_mapper.cpp:623-663).
 from __future__ import annotations
 
 import ctypes
+import os
 import sys
 
 _libc = None
@@ -30,12 +31,16 @@ def trim_host_heap() -> bool:
 
     Safe to call from any thread at any time; returns True iff memory was
     actually released.  Costs ~1 ms on a multi-GB heap — negligible at the
-    loop-closure-pass cadence it is called on.
+    loop-closure-pass cadence it is called on.  ``NDT2D_HEAP_TRIM=0``
+    disables it (used by benchmarks/memory_attribution.py to A/B the
+    retention).
     """
     global _libc, _checked
     if not _checked:
         _checked = True
-        if sys.platform.startswith("linux"):
+        if os.environ.get("NDT2D_HEAP_TRIM", "1") == "0":
+            _libc = None
+        elif sys.platform.startswith("linux"):
             try:
                 lib = ctypes.CDLL("libc.so.6", use_errno=True)
                 lib.malloc_trim.argtypes = (ctypes.c_size_t,)
