@@ -64,6 +64,9 @@ class SessionStats:
         # and candidates skipped by the cross-pass negative cache.
         self.far_rows_pruned = 0
         self.far_rows_cache_skipped = 0
+        # Confirmation rows whose result was reused across a pass restart
+        # (pose-snapshot validated; mapper._loop_closure_pass_pipelined).
+        self.confirm_rows_reused = 0
         self.optimizations = 0
         self.score_sum = 0.0
         self.score_min = 0.0
@@ -88,6 +91,7 @@ class SessionStats:
             "loop_closures_rejected": self.loop_closures_rejected,
             "far_rows_pruned": self.far_rows_pruned,
             "far_rows_cache_skipped": self.far_rows_cache_skipped,
+            "confirm_rows_reused": self.confirm_rows_reused,
             "optimizations": self.optimizations,
             "timing": self.timer.summary(),
         }

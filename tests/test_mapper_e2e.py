@@ -946,3 +946,58 @@ class TestAutoGrowGrids:
     def test_flag_off_raises_with_advice(self):
         with pytest.raises(ValueError, match="auto_grow_grids"):
             self._drive(self._cfg(False))
+
+
+class TestConfirmRowReuse:
+    """Pass-restart row reuse (mapper._loop_closure_pass_pipelined): after
+    an acceptance restarts the pass, rows whose snapshot key (query pose,
+    window poses, grid sizes) is unchanged reuse their fetched result
+    instead of re-dispatching — and the decisions must be bitwise identical
+    to a cache-disabled run."""
+
+    def test_reuse_fires_and_is_decision_neutral(self):
+        world, truth, odom = _office_loop_inputs()
+        global_mcfg = ScanMatcherConfig(
+            ndt_resolution=0.35, search_linear_size=0.15,
+            search_linear_resolution=0.01, search_angular_size=0.05,
+            grid_cells_x=160, grid_cells_y=160)
+        cfg = dataclasses.replace(
+            CFG, global_scan_matcher=global_mcfg,
+            global_search_size=4.0, optimization_node_limit=10**9,
+            batch_loop_closure=True, pipeline_loop_closure=True,
+            loop_closure_region_size=3)
+
+        results = {}
+        for cache_on in (True, False):
+            mapper, est, used_truth = run_mapping(world, truth, odom,
+                                                  cfg=cfg, range_max=12.0,
+                                                  n_beams=600)
+            if not cache_on:
+                # Force every snapshot lookup to miss: unique key per call.
+                counter = [0]
+                orig = mapper._confirm_row_key
+
+                def always_miss(j, i, _c=counter, _o=orig):
+                    _c[0] += 1
+                    return _o(j, i) + _c[0].to_bytes(8, "little")
+                mapper._confirm_row_key = always_miss
+            mapper.loop_closure()
+            g = mapper.graph
+            results[cache_on] = dict(
+                begin=g.constraint_begin.copy(), end=g.constraint_end.copy(),
+                poses=g.poses.copy(),
+                accepted=mapper.stats.loop_closures_accepted,
+                rejected=mapper.stats.loop_closures_rejected,
+                reused=mapper.stats.confirm_rows_reused)
+
+        on, off = results[True], results[False]
+        # The scenario must exercise reuse: >= 1 acceptance restarts the
+        # pass with unchanged remaining rows.
+        assert on["accepted"] >= 1
+        assert on["reused"] > 0
+        assert off["reused"] == 0
+        assert on["accepted"] == off["accepted"]
+        assert on["rejected"] == off["rejected"]
+        np.testing.assert_array_equal(on["begin"], off["begin"])
+        np.testing.assert_array_equal(on["end"], off["end"])
+        np.testing.assert_array_equal(on["poses"], off["poses"])
