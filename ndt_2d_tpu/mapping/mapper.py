@@ -1165,26 +1165,40 @@ class Mapper:
                                           tuple(np.asarray(query, float))))
         return out
 
-    def _confirm_row_key(self, j: int, i: int) -> bytes:
-        """Snapshot of everything a confirmation row's result depends on:
-        the query pose (start pose + far classification), the candidate
-        window's poses (the NDT build; points are immutable once added),
-        and the matcher grid sizes (auto-grow changes the compiled
-        program).  Two dispatches of row (j, i) with equal keys feed the
-        same jitted program bitwise-identical inputs."""
-        g = self.graph
-        rolling = j - self.config.rolling_depth
+    def _window_bounds(self, i: int, rolling: int):
+        """[begin, end) scan range of candidate ``i``'s S-slot confirmation
+        region (shared by the window build and the row-reuse snapshot key —
+        the two MUST agree or the cache reuses results for rows whose
+        window changed)."""
         S = self.config.loop_closure_region_size
         begin_idx = max(i - S // 2, 0)
         end_idx = max(min(i + (S - S // 2), rolling), i + 1)
-        end_idx = begin_idx + min(end_idx - begin_idx, S)
+        return begin_idx, begin_idx + min(end_idx - begin_idx, S)
+
+    def _grid_cells_snapshot(self):
+        """Current (global, coarse) matcher grid sizes — the compiled-
+        program identity the row-reuse key and the auto-grow redo check
+        depend on."""
         gm = self.global_matcher.config
         cells = [gm.grid_cells_x, gm.grid_cells_y]
         if self.coarse_matcher is not None:
             cells += [self.coarse_matcher.config.grid_cells_x,
                       self.coarse_matcher.config.grid_cells_y]
+        return tuple(cells)
+
+    def _confirm_row_key(self, j: int, i: int) -> bytes:
+        """Snapshot of everything a confirmation row's result depends on:
+        the query pose (start pose + far classification), the candidate
+        window's poses (the NDT build; points are immutable once added),
+        and the matcher grid sizes (auto-grow changes the compiled
+        program).  Equal keys mean the row re-runs the same per-row math
+        on identical inputs; see _loop_closure_pass_pipelined for the
+        exact reuse guarantee (and its padding caveat)."""
+        g = self.graph
+        begin_idx, end_idx = self._window_bounds(
+            i, j - self.config.rolling_depth)
         return (g.poses[j].tobytes() + g.poses[begin_idx:end_idx].tobytes()
-                + np.asarray(cells, np.int64).tobytes())
+                + np.asarray(self._grid_cells_snapshot(), np.int64).tobytes())
 
     def _candidate_window(self, i: int, rolling: int):
         """The candidate's S-slot scan region around scan ``i``
@@ -1199,10 +1213,8 @@ class Mapper:
         the build kernel compiles once."""
         g = self.graph
         S = self.config.loop_closure_region_size
-        begin_idx = max(i - S // 2, 0)
-        end_idx = max(min(i + (S - S // 2), rolling), i + 1)
-        k = min(end_idx - begin_idx, S)
-        end_idx = begin_idx + k
+        begin_idx, end_idx = self._window_bounds(i, rolling)
+        k = end_idx - begin_idx
         poses2 = np.zeros((S, 3), np.float32)
         pts2 = np.zeros((S, g.max_points, 2), np.float32)
         pmask2 = np.zeros((S, g.max_points), bool)
@@ -1393,9 +1405,15 @@ class Mapper:
         # re-dispatch every remaining row.  Results are cached under a
         # snapshot of everything the row's match depends on (query pose,
         # window poses, grid sizes — _confirm_row_key), so on restart only
-        # rows whose inputs actually changed re-dispatch; a matching
-        # snapshot guarantees a bitwise-identical result (same program,
-        # same inputs), keeping the sequential-equivalence pin intact.
+        # rows whose inputs actually changed re-dispatch.  Guarantee: a
+        # matching snapshot re-runs the same per-row math on identical
+        # inputs; per-row results are lane-independent of the batch they
+        # ride in, so decisions are identical to a cache-disabled run
+        # (pinned bitwise on the CPU scenarios by TestConfirmRowReuse; on
+        # TPU a different batch padding compiles a different program whose
+        # last-bit rounding could in principle flip a gate at the exact
+        # threshold — the same lattice-flip equivalence class the
+        # pipelined-vs-sync chains already live in, BASELINE.md round 2).
         # Optimizations (incl. solve-before-reanchor) rewrite all poses and
         # invalidate every entry through the snapshot mismatch — no manual
         # invalidation exists to get wrong.
@@ -1413,16 +1431,31 @@ class Mapper:
                 rows = [(j, i) for j, cands in pending for i in cands]
                 if not rows:
                     break
-                keys = {r: self._confirm_row_key(*r) for r in rows}
-                fresh = [r for r in rows
-                         if row_cache.get(r, (None,))[0] != keys[r]]
-                if fresh:
+                while True:
+                    keys = {r: self._confirm_row_key(*r) for r in rows}
+                    fresh = [r for r in rows
+                             if row_cache.get(r, (None,))[0] != keys[r]]
+                    if not fresh:
+                        break
+                    cells0 = self._grid_cells_snapshot()
                     starts, segments = self._dispatch_confirm_rows(fresh)
                     fsc, fco, fcv, ffs = self._fetch_rows(starts, segments)
+                    if self._grid_cells_snapshot() != cells0:
+                        # auto_grow_grids fired mid-dispatch: the keys above
+                        # snapshot the OLD grid sizes while (some of) the
+                        # fetched results ran post-growth, and any reused
+                        # entries would be pre-growth.  Drop everything and
+                        # redo this iteration under the grown config —
+                        # growth is monotonic and amortized-rare, so the
+                        # redo is a one-time cost, and it keeps the
+                        # cache-disabled equivalence exact.
+                        row_cache.clear()
+                        continue
                     for m, r in enumerate(fresh):
                         row_cache[r] = (keys[r], float(fsc[m]),
                                         fco[m].copy(), fcv[m].copy(),
                                         ffs[m].copy())
+                    break
                 self.stats.confirm_rows_reused += len(rows) - len(fresh)
                 N = len(rows)
                 scores = np.zeros(N)

@@ -224,9 +224,7 @@ class TestRecipePresets:
     (BASELINE.md round 5), with explicit flags overriding preset values."""
 
     def _config(self, argv):
-        ap = __import__("argparse").ArgumentParser()
-        # Reuse the real parser by going through main's parser build: parse
-        # via a throwaway run command (no execution - we only build config).
+        # Parse through the real parser (no execution), then build config.
         args = cli._parse_for_test(["run", "--bag", "x"] + argv)
         return cli._mapper_config(args)
 

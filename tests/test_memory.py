@@ -12,10 +12,24 @@ def test_trim_host_heap_idempotent():
     assert isinstance(r1, bool) and isinstance(r2, bool)
 
 
-def test_trim_reclaims_after_large_churn():
+def test_trim_releases_arena_pages():
+    """The trim must actually release retained pages — a no-op stub fails.
+
+    Large numpy buffers are mmap'd and returned to the OS by free()
+    without any trim, so the churn here uses SMALL (sub-mmap-threshold)
+    chunks that glibc retains in its arenas — the same class of
+    allocation the loop-closure pass churns."""
+    import os
     import sys
+
+    import pytest
     if not sys.platform.startswith("linux"):
-        return
+        pytest.skip("glibc malloc_trim is Linux-only")
+    # Make the test independent of ambient NDT2D_HEAP_TRIM and of the
+    # module's cached first-call decision.
+    os.environ.pop("NDT2D_HEAP_TRIM", None)
+    memory._checked = False
+    memory._libc = None
 
     def rss_kb():
         with open("/proc/self/status") as f:
@@ -23,13 +37,20 @@ def test_trim_reclaims_after_large_churn():
                 if line.startswith("VmRSS"):
                     return int(line.split()[1])
 
-    # Churn ~256 MB of short-lived buffers, then trim: RSS should drop
-    # back within 64 MB of the pre-churn level (the exact reclaim depends
-    # on arena layout, so the bound is loose).
     memory.trim_host_heap()
     base = rss_kb()
-    for _ in range(8):
-        _ = [np.zeros(4 << 20) for _ in range(1)]  # 32 MB each, freed
-    memory.trim_host_heap()
-    after = rss_kb()
-    assert after - base < 64 * 1024
+    # ~200 MB of 64 KB chunks (8192 float64 — below the default 128 KB
+    # mmap threshold), freed immediately: glibc keeps the pages in its
+    # arenas rather than returning them to the OS.
+    chunks = [np.zeros(8 << 10) for _ in range(3200)]
+    del chunks
+    retained = rss_kb() - base
+    released = memory.trim_host_heap()
+    after = rss_kb() - base
+    # malloc_trim reports whether memory was released, and the RSS must
+    # actually move if the churn was retained.  Either signal alone can
+    # be flaky across allocator builds; require the strong one (released
+    # True) and, when the arena retained >32 MB, a real RSS drop too.
+    assert released is True
+    if retained > 32 * 1024:
+        assert after < retained - 16 * 1024
