@@ -179,9 +179,13 @@ def attribute_misses(mapper, truth_used: np.ndarray, revisits, queries,
             if sims and max(sims) < cfg.descriptor_min_similarity:
                 cause = "desc_sim"
             elif sims:
-                # Rank among all valid earlier-than-rolling scans.
-                limit = idx - cfg.rolling_depth
-                row = desc_sims[idx, :max(limit, 0)]
+                # Rank among all valid earlier-than-rolling scans —
+                # point-less scans carry meaningless cosines and must not
+                # count toward the rank.
+                limit = max(idx - cfg.rolling_depth, 0)
+                valid = np.asarray([g.point_mask[i].any()
+                                    for i in range(limit)], bool)
+                row = np.asarray(desc_sims[idx, :limit])[valid]
                 rank = int(np.sum(row > max(sims)))
                 cause = ("desc_rank" if rank >= cfg.global_search_limit
                          else ("radius_reach" if mode == "both"

@@ -149,6 +149,16 @@ class Graph:
         has = self._has_points.view[:, None]
         return poses[:, :2] + np.where(has, off, 0.0)
 
+    def barycenter(self, i: int) -> np.ndarray:
+        """Single-scan barycenter — O(1), for per-query use where
+        barycenters() would recompute all N rows."""
+        pose = self.poses[i]
+        if not self._has_points.view[i]:
+            return pose[:2].copy()
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        mx, my = self._point_means.view[i]
+        return pose[:2] + np.asarray([c * mx - s * my, s * mx + c * my])
+
     def find_nearest(self, query_xy, dist: float = 10.0,
                      limit_scan_index: int = -1,
                      use_barycenter=None) -> np.ndarray:

@@ -191,6 +191,9 @@ class Mapper:
         # cell) pairs (cleared on any acceptance / optimization).
         self._desc_sim = {}
         self._reject_cache = {}
+        # Rows already counted in stats.far_rows_pruned this
+        # loop_closure() call (pass restarts re-prune the same rows).
+        self._pruned_counted = set()
 
     # ------------------------------------------------------------------
     def _ensure_matchers(self, msg_range_max: float) -> None:
@@ -986,7 +989,13 @@ class Mapper:
         desc_table = desc_valid = None
         self._desc_topk = None
         self._desc_sim = {}
-        if self.config.loop_search in ("descriptor", "both") and num_scans:
+        self._pruned_counted = set()
+        # Guard: nothing pending means no queries will run — skip the
+        # whole-pass descriptor precompute (the O(N^2) all-pairs search
+        # used to run even on the flush-with-nothing-pending call every
+        # session ends with).
+        if (self.config.loop_search in ("descriptor", "both") and num_scans
+                and self.global_scans_processed < num_scans):
             # Appearance-based candidates: batched rotation-invariant
             # descriptors + cosine top-k (ndt_2d_tpu.parallel.loop_search).
             # Computed over the graph's padded capacity buffers so the jit
@@ -1094,12 +1103,30 @@ class Mapper:
         limit = self.config.global_search_limit
         rolling = idx - self.config.rolling_depth
         out = []
-        query = (g.barycenters()[idx] if g.use_barycenter
-                 else g.poses[idx, :2])
+        # "pose" searches pose space outright (overriding the graph's
+        # barycenter convention); "both" keeps barycenter primary and adds
+        # the pose-space arm below.
+        use_bary = (g.use_barycenter
+                    and self.config.loop_search_positions != "pose")
+        query = g.barycenter(idx) if use_bary else g.poses[idx, :2]
         if mode in ("radius", "both"):
             near = g.find_nearest(query, self.config.global_search_size,
-                                  rolling)
-            out = [int(i) for i in near if g.point_mask[int(i)].any()][:limit]
+                                  rolling, use_barycenter=use_bary)
+            out = []
+            for i in near:
+                i = int(i)
+                if len(out) >= limit:
+                    break
+                if not g.point_mask[i].any():
+                    continue
+                # The cross-pass negative cache applies to far rows from
+                # EITHER source — a clearly-rejected far site stays
+                # rejected no matter which arm re-proposes it.
+                if (self._reject_cache and self._is_far(idx, i)
+                        and self._far_key(idx, i) in self._reject_cache):
+                    self.stats.far_rows_cache_skipped += 1
+                    continue
+                out.append(i)
             if self.config.loop_search_positions == "both":
                 # Pose-space arm: catches reverse-direction revisits whose
                 # barycenters face away from each other (see config.py).
@@ -1117,9 +1144,14 @@ class Mapper:
                     i = int(i)
                     if extras >= limit:
                         break
-                    if i not in out and g.point_mask[i].any():
-                        out.append(i)
-                        extras += 1
+                    if i in out or not g.point_mask[i].any():
+                        continue
+                    if (self._reject_cache and self._is_far(idx, i)
+                            and self._far_key(idx, i) in self._reject_cache):
+                        self.stats.far_rows_cache_skipped += 1
+                        continue
+                    out.append(i)
+                    extras += 1
         if mode in ("descriptor", "both") and desc_table is not None:
             from ndt_2d_tpu.parallel import loop_search
             # Exclude i >= idx - depth: findNearest's limit_scan_index
@@ -1272,11 +1304,14 @@ class Mapper:
         """Per-pass spatial dedup + cap of FAR rows (see config.py).
 
         ``pending`` is the pass's [(query, [candidates])] list.  Near rows
-        always survive.  Far rows are ranked by descriptor similarity;
-        a row is dropped when an already-selected far row has BOTH its
-        query and candidate within loop_closure_far_dedup meters (one
-        representative confirmation per site pair per pass), or once
-        loop_closure_max_far_rows is reached."""
+        always survive.  Far rows are ranked by descriptor similarity —
+        radius-sourced far rows (no similarity entry) rank FIRST, since
+        they carry a precise drift-consistent start pose while descriptor
+        rows are appearance guesses; a row is dropped when an
+        already-selected far row has BOTH its query and candidate within
+        loop_closure_far_dedup meters (one representative confirmation per
+        site pair per pass), or once loop_closure_max_far_rows is
+        reached."""
         ded = self.config.loop_closure_far_dedup
         cap = self.config.loop_closure_max_far_rows
         if (ded <= 0 and cap <= 0) or self.coarse_matcher is None:
@@ -1286,7 +1321,8 @@ class Mapper:
         for j, cands in pending:
             for i in cands:
                 if self._is_far(j, i):
-                    far.append((self._desc_sim.get((j, i), 0.0), j, i))
+                    far.append((self._desc_sim.get((j, i), float("inf")),
+                                j, i))
         if not far:
             return pending
         selected = set()
@@ -1301,7 +1337,13 @@ class Mapper:
                 continue
             selected.add((j, i))
             sel_pos.append((qp.copy(), cp.copy()))
-        self.stats.far_rows_pruned += len(far) - len(selected)
+        # Count each physically distinct suppressed row once per
+        # loop_closure() call: pass restarts re-propose and re-prune the
+        # same rows, which used to multiply the stat.
+        dropped = {(j, i) for _, j, i in far if (j, i) not in selected}
+        dropped -= self._pruned_counted
+        self._pruned_counted |= dropped
+        self.stats.far_rows_pruned += len(dropped)
         out = []
         for j, cands in pending:
             kept = [i for i in cands

@@ -138,3 +138,107 @@ class TestRejectCache:
                                       jnp.asarray(valid))
         assert 2 not in out
         assert mapper.stats.far_rows_cache_skipped == before + 1
+
+
+class TestRadiusArmInteractions:
+    """Round-5 review fixes: the pruning machinery must treat
+    radius-sourced far rows correctly (they carry precise start poses and
+    no descriptor similarity)."""
+
+    def test_radius_far_rows_rank_first_in_prune(self):
+        # Far rows without a _desc_sim entry (radius-sourced) must survive
+        # the cap ahead of descriptor rows with real similarities.
+        mapper = make_mapper(loop_closure_max_far_rows=1)
+        pending = [(30, [2]), (31, [3])]
+        mapper._desc_sim[(31, 3)] = 0.99    # descriptor row
+        # (30, 2) has NO sim entry -> radius-sourced -> ranks first.
+        out = mapper._prune_far_pass(pending)
+        kept = [(j, i) for j, cands in out for i in cands]
+        assert (30, 2) in kept
+        assert (31, 3) not in kept
+
+    def test_radius_candidates_consult_reject_cache(self):
+        # A cached clearly-rejected far site must be skipped when the
+        # RADIUS arm re-proposes it, not only the descriptor arm.  The
+        # radius arm can propose a FAR row exactly in the facing-each-other
+        # geometry: barycenters meet in the middle (within the search
+        # radius) while the poses are far apart.
+        cfg = MapperConfig(local_scan_matcher=MCFG, global_scan_matcher=MCFG,
+                           max_points_per_scan=64, loop_search="both",
+                           global_search_size=25.0,    # squared: 5 m
+                           loop_closure_every=10**9, global_search_limit=40,
+                           loop_closure_reject_cache_margin=0.05)
+        mapper = Mapper(cfg)
+        mapper.range_max = 30.0
+        mapper._ensure_matchers(30.0)
+        g = mapper.graph
+        fwd = np.zeros((64, 2), np.float32)
+        fwd[:8] = [20.0, 0.0]          # beams 20 m ahead in scan frame
+        mask = np.zeros(64, bool)
+        mask[:8] = True
+        empty = np.zeros((64, 2), np.float32)
+        # Candidate 0 at x=2 facing +x: barycenter at x=22.
+        g.add_scan(np.asarray([2.0, 0.0, 0.0]), fwd, mask)
+        # Filler keyframes far away in y (outside every search).
+        for k in range(1, 12):
+            g.add_scan(np.asarray([100.0 + k, 50.0, 0.0]), empty, mask)
+        # Query at x=39 facing -x: barycenter at x=19 (3 m from the
+        # candidate barycenter; pose distance 37 m => far row).
+        g.add_scan(np.asarray([39.0, 0.0, np.pi]), fwd, mask)
+        idx = g.num_scans - 1
+        assert mapper._is_far(idx, 0)
+        # Without the cache the radius arm proposes it...
+        assert 0 in mapper._loop_candidates(idx, None, None)
+        # ...and with a cached clear rejection it must not.
+        mapper._reject_cache[mapper._far_key(idx, 0)] = -0.01
+        before = mapper.stats.far_rows_cache_skipped
+        out = mapper._loop_candidates(idx, None, None)
+        assert 0 not in out
+        assert mapper.stats.far_rows_cache_skipped > before
+
+    def test_prune_counts_each_row_once_across_restarts(self):
+        mapper = make_mapper(loop_closure_max_far_rows=1)
+        pending = [(30, [2]), (31, [3])]
+        mapper._desc_sim[(30, 2)] = 0.9
+        mapper._desc_sim[(31, 3)] = 0.8
+        mapper._prune_far_pass(pending)
+        first = mapper.stats.far_rows_pruned
+        assert first == 1
+        # A pass restart re-prunes the same rows: no double count.
+        mapper._prune_far_pass(pending)
+        assert mapper.stats.far_rows_pruned == first
+
+
+class TestLoopSearchPositionsPose:
+    def test_pose_mode_searches_pose_space(self):
+        # Two scans whose BARYCENTERS are far apart but POSES adjacent:
+        # positions="pose" must find the candidate, barycenter mode not.
+        import dataclasses as _dc
+
+        from ndt_2d_tpu.config import MapperConfig
+        for positions, expect in (("barycenter", False), ("pose", True)):
+            cfg = MapperConfig(local_scan_matcher=MCFG,
+                               global_scan_matcher=MCFG,
+                               max_points_per_scan=64,
+                               global_search_size=4.0,   # squared: 2 m
+                               loop_closure_every=10**9,
+                               rolling_depth=2,
+                               loop_search_positions=positions)
+            mapper = Mapper(cfg)
+            mapper.range_max = 30.0
+            mapper._ensure_matchers(30.0)
+            g = mapper.graph
+            pts = np.zeros((64, 2), np.float32)
+            pts[:8] = [20.0, 0.0]    # beams 20 m ahead
+            mask = np.zeros(64, bool)
+            mask[:8] = True
+            # Candidate faces +x, query (much later scan) faces -x from
+            # nearly the same position: pose distance ~0.5 m, barycenter
+            # distance ~40 m.
+            g.add_scan(np.asarray([0.0, 0.0, 0.0]), pts, mask)
+            for k in range(1, 8):
+                g.add_scan(np.asarray([100.0 + k, 50.0, 0.0]), pts, mask)
+            g.add_scan(np.asarray([0.5, 0.0, np.pi]), pts, mask)
+            idx = g.num_scans - 1
+            out = mapper._loop_candidates(idx, None, None)
+            assert (0 in out) == expect, (positions, out)

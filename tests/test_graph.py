@@ -307,3 +307,18 @@ class TestRobustLoss:
                                    np.asarray(single.poses), atol=2e-2)
         np.testing.assert_allclose(np.asarray(multi.poses)[:, :2],
                                    truth[:, :2], atol=5e-2)
+
+
+def test_single_barycenter_matches_batch():
+    """PoseGraph.barycenter(i) (O(1), per-query) must equal barycenters()[i]."""
+    rng = np.random.default_rng(3)
+    g = pose_graph.Graph(max_points_per_scan=32)
+    for k in range(7):
+        pts = rng.normal(0.0, 2.0, (32, 2)).astype(np.float32)
+        mask = rng.uniform(size=32) < 0.7
+        if k == 4:
+            mask[:] = False  # point-less scan: barycenter == pose position
+        g.add_scan(rng.normal(0.0, 5.0, 3), pts, mask)
+    batch = g.barycenters()
+    for i in range(g.num_scans):
+        np.testing.assert_allclose(g.barycenter(i), batch[i], atol=1e-12)
