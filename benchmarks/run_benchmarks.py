@@ -746,6 +746,15 @@ def bench_config9(quick: bool) -> dict:
                      # denser regions.  Redescending loss stays on.
                      loop_closure_gate_scale=1.0,
                      loop_closure_region_size=3,
+                     # Late round 5: the dual-position radius search joins
+                     # the canonical simlab recipe.  The pass-restart
+                     # re-roll artifact (BASELINE.md "re-roll artifact")
+                     # had inflated the barycenter-only recipe's
+                     # acceptances; with faithful once-per-pass scoring the
+                     # positions-both recipe is the measured-best simlab
+                     # configuration (candidate recall 1.00, aligned ATE
+                     # 0.058, lc_pr round5simlab post-reuse rows).
+                     loop_search_positions="both",
                      global_scan_matcher=dc.replace(global_mcfg,
                                                     refine_iterations=8),
                      solver=dc.replace(SolverConfig(),
